@@ -1,0 +1,369 @@
+"""URL-seen set (F5): exact ledger + partitioned bloom filter + cuckoo fallback.
+
+Absent in the reference — an S3 listing is duplicate-free per bucket, so
+fess-ds-s3 never deduplicates (its only "identity" is the crawler-stats key
+``bucket@key``, AmazonS3DataStore.java:196). The north rule requires a
+URL-seen set that scales to a 10^10-URL frontier, so this module provides:
+
+1. **Exact ledger** — a ``seen`` table ``(url_hash:long, canonical_url:string)``;
+   membership test is a plain ``left_anti`` join. This is the correctness
+   oracle and the confirm step behind the bloom pre-filter.
+
+2. **Partitioned bloom filter** — ``P = cfg.seen_partitions`` independent
+   bitset blobs (P fixed in config, *independent of parallelism*, so results
+   are deterministic across cluster sizes). A URL belongs to partition
+   ``pmod(murmur3(url), P)`` and is hashed into the blob by double hashing
+   ``pos_i = (h1 + i*h2) mod m`` with h1 = Murmur3-32 (``F.hash``) and
+   h2 = xxhash64 (``F.xxhash64``), both computed JVM-side; the Python side
+   only does vectorized numpy bit arithmetic inside Arrow-batched
+   cogrouped/grouped pandas UDFs. No per-row Python.
+
+3. **Cuckoo filter fallback** — same partitioning, but blobs are cuckoo
+   tables (bucketed 16-bit fingerprints, 4 slots/bucket) supporting
+   **deletion** (e.g. forced re-crawl of expired URLs), which blooms cannot.
+
+Scale notes: blob size per partition is sized from ``bloom_expected`` /
+``bloom_fpp``; membership at scale uses a **cogroup** on the partition id so
+each task streams only its own partition's frontier rows + one blob —
+no broadcast of the full filter, no blob duplication through a join.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
+                               StructField, StructType)
+
+from fess_ds_s3_spark.config import CrawlConfig
+
+BLOOM_SCHEMA = StructType([
+    StructField("part_id", IntegerType(), False),
+    StructField("bits", BinaryType(), False),
+    StructField("m_bits", LongType(), False),
+    StructField("k_hashes", IntegerType(), False),
+])
+
+CUCKOO_SCHEMA = StructType([
+    StructField("part_id", IntegerType(), False),
+    StructField("table", BinaryType(), False),   # uint16 fingerprints
+    StructField("n_buckets", LongType(), False),
+])
+
+_CUCKOO_SLOTS = 4
+_CUCKOO_MAX_KICKS = 500
+
+
+def bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes); m rounded up to a byte multiple."""
+    m = math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / expected * math.log(2)))
+    return m, k
+
+
+def with_seen_keys(df: DataFrame, cfg: CrawlConfig,
+                   url: str = "canonical_url") -> DataFrame:
+    """Attach (part_id, h1, h2) — all JVM-side, whole-stage-codegen friendly."""
+    return (
+        df.withColumn("url_hash", F.xxhash64(url))
+        .withColumn("part_id",
+                    F.pmod(F.hash(url), F.lit(cfg.seen_partitions))
+                    .cast("int"))
+        .withColumn("h1", F.hash(url).cast("long"))
+        # force h2 odd (SQL bitwise |) so double hashing cycles all m positions
+        .withColumn("h2", F.expr(f"xxhash64(`{url}`) | 1L"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy bit kernels (vectorized; shared by build and probe)
+# ---------------------------------------------------------------------------
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) int64 bit positions via double hashing; deterministic."""
+    i = np.arange(k, dtype=np.int64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + i * h2[:, None]  # int64 wraparound is fine
+    return np.mod(pos, m)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.ravel()
+    np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """row-wise AND over k probes → bool[n] (all bits set = maybe seen)."""
+    probes = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probes.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom build / merge / probe
+# ---------------------------------------------------------------------------
+
+def build_bloom(df: DataFrame, cfg: CrawlConfig,
+                url: str = "canonical_url") -> DataFrame:
+    """Build per-partition bloom blobs from a URL DataFrame.
+
+    One grouped-map pandas UDF per partition id; emits exactly one blob row
+    per non-empty partition. This is the engine's only UDAF-like op
+    (SURVEY.md §2.11).
+    """
+    m, k = bloom_params(cfg.bloom_expected, cfg.bloom_fpp)
+    keyed = with_seen_keys(df, cfg, url).select("part_id", "h1", "h2")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        pos = _positions(pdf["h1"].to_numpy(np.int64),
+                         pdf["h2"].to_numpy(np.int64), k, m)
+        _set_bits(bits, pos)
+        return pd.DataFrame({
+            "part_id": [int(pdf["part_id"].iloc[0])],
+            "bits": [bits.tobytes()],
+            "m_bits": [m], "k_hashes": [k],
+        })
+
+    return keyed.groupBy("part_id").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two bloom blob tables (same m/k) partition-wise."""
+    def _merge(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        frames = [x for x in (left, right) if len(x)]
+        first = frames[0]
+        bits = np.zeros(len(first["bits"].iloc[0]), dtype=np.uint8)
+        for frame in frames:
+            for blob in frame["bits"]:
+                bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame({
+            "part_id": [int(first["part_id"].iloc[0])],
+            "bits": [bits.tobytes()],
+            "m_bits": [int(first["m_bits"].iloc[0])],
+            "k_hashes": [int(first["k_hashes"].iloc[0])],
+        })
+
+    return (a.groupBy("part_id").cogroup(b.groupBy("part_id"))
+            .applyInPandas(_merge, BLOOM_SCHEMA))
+
+
+def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
+                     url: str = "canonical_url",
+                     flag: str = "maybe_seen") -> DataFrame:
+    """Probe: frontier + blob tables cogrouped on part_id → frontier rows
+    with a ``maybe_seen`` boolean. False ⇒ definitely unseen (bloom
+    guarantee); True ⇒ confirm against the exact ledger.
+    """
+    keyed = with_seen_keys(frontier, cfg, url)
+    out_schema = StructType(
+        [f for f in keyed.schema.fields if f.name not in ("h1", "h2")]
+        + [StructField(flag, BooleanType(), False)])
+    carry = [c for c in keyed.columns if c not in ("h1", "h2")]
+
+    def _probe(_key, rows: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if not len(rows):
+            return pd.DataFrame(columns=carry + [flag])
+        if not len(blobs):
+            out = rows[carry].copy()
+            out[flag] = False
+            return out
+        bits = np.frombuffer(blobs["bits"].iloc[0], dtype=np.uint8)
+        m = int(blobs["m_bits"].iloc[0])
+        k = int(blobs["k_hashes"].iloc[0])
+        pos = _positions(rows["h1"].to_numpy(np.int64),
+                         rows["h2"].to_numpy(np.int64), k, m)
+        out = rows[carry].copy()
+        out[flag] = _test_bits(bits, pos)
+        return out
+
+    return (keyed.groupBy("part_id").cogroup(blooms.groupBy("part_id"))
+            .applyInPandas(_probe, out_schema))
+
+
+def anti_join_seen_exact(frontier: DataFrame, seen: DataFrame,
+                         url: str = "canonical_url") -> DataFrame:
+    """J4 exact anti-join: keep frontier rows whose URL is NOT in ``seen``.
+
+    ``seen`` needs only a ``canonical_url`` column. This is the correctness
+    oracle; at scale, call :func:`filter_unseen` instead (bloom pre-filter
+    shrinks the join's left side to bloom-positive rows only).
+    """
+    return frontier.join(
+        seen.select(F.col(url)).distinct(), on=url, how="left_anti")
+
+
+def filter_unseen(frontier: DataFrame, seen_exact: DataFrame,
+                  blooms: DataFrame | None, cfg: CrawlConfig,
+                  url: str = "canonical_url") -> DataFrame:
+    """Scale path: bloom pre-filter → exact confirm, union definite-new rows.
+
+    Identical output to :func:`anti_join_seen_exact` (bloom has no false
+    negatives); the exact join's left side shrinks to ``fpp × |frontier|``
+    + true duplicates.
+    """
+    if blooms is None:
+        return anti_join_seen_exact(frontier, seen_exact, url)
+    flagged = bloom_maybe_seen(frontier, blooms, cfg, url)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_confirm = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = anti_join_seen_exact(needs_confirm, seen_exact, url)
+    return definitely_new.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter fallback (supports delete)
+# ---------------------------------------------------------------------------
+
+def _cuckoo_fingerprint(h1: np.ndarray) -> np.ndarray:
+    fp = (h1.astype(np.uint64) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 marks an empty slot
+    return fp
+
+
+def _cuckoo_index2(i1: np.ndarray, fp: np.ndarray, n: int) -> np.ndarray:
+    # partner bucket: i2 = (i1 ^ (fp * 0x5bd1e995)) mod n  (murmur-mix)
+    mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(2**63 - 1)
+    return np.mod(i1.astype(np.uint64) ^ mix, np.uint64(n)).astype(np.int64)
+
+
+class _CuckooTable:
+    """In-UDF cuckoo table over a uint16 array of n_buckets × 4 slots."""
+
+    def __init__(self, table: np.ndarray, n_buckets: int):
+        self.t = table.reshape(n_buckets, _CUCKOO_SLOTS)
+        self.n = n_buckets
+
+    def _try_put(self, bucket: int, fp: int) -> bool:
+        row = self.t[bucket]
+        empty = np.where(row == 0)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def insert(self, i1: int, fp: int) -> bool:
+        i2 = int(_cuckoo_index2(np.array([i1]), np.array([fp], np.uint16),
+                                self.n)[0])
+        if self._try_put(i1, fp) or self._try_put(i2, fp):
+            return True
+        # kick: deterministic slot choice (no RNG → reproducible blobs)
+        bucket, cur = i1, fp
+        for kick in range(_CUCKOO_MAX_KICKS):
+            slot = kick % _CUCKOO_SLOTS
+            cur, self.t[bucket, slot] = int(self.t[bucket, slot]), cur
+            bucket = int(_cuckoo_index2(
+                np.array([bucket]), np.array([cur], np.uint16), self.n)[0])
+            if self._try_put(bucket, cur):
+                return True
+        return False  # table over-full; caller sizes tables to avoid this
+
+    def delete(self, i1: int, fp: int) -> bool:
+        i2 = int(_cuckoo_index2(np.array([i1]), np.array([fp], np.uint16),
+                                self.n)[0])
+        for b in (i1, i2):
+            row = self.t[b]
+            hit = np.where(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                return True
+        return False
+
+    def contains(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        i2 = _cuckoo_index2(i1, fp, self.n)
+        in1 = (self.t[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.t[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+
+def cuckoo_capacity(expected: int) -> int:
+    """Buckets for ~95% load headroom, power of two for cheap mod."""
+    need = math.ceil(expected / (_CUCKOO_SLOTS * 0.84))
+    return 1 << max(4, (need - 1).bit_length())
+
+
+def build_cuckoo(df: DataFrame, cfg: CrawlConfig,
+                 url: str = "canonical_url") -> DataFrame:
+    """Build per-partition cuckoo blobs (deletable seen-set)."""
+    n_buckets = cuckoo_capacity(cfg.bloom_expected)
+    keyed = with_seen_keys(df, cfg, url).select("part_id", "h1")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = np.zeros(n_buckets * _CUCKOO_SLOTS, dtype=np.uint16)
+        ck = _CuckooTable(table, n_buckets)
+        h1 = pdf["h1"].to_numpy(np.int64)
+        fp = _cuckoo_fingerprint(h1)
+        i1 = np.mod(h1.astype(np.uint64), np.uint64(n_buckets)).astype(np.int64)
+        for a, b in zip(i1.tolist(), fp.tolist()):
+            ck.insert(a, b)
+        return pd.DataFrame({
+            "part_id": [int(pdf["part_id"].iloc[0])],
+            "table": [table.tobytes()],
+            "n_buckets": [n_buckets],
+        })
+
+    return keyed.groupBy("part_id").applyInPandas(_build, CUCKOO_SCHEMA)
+
+
+def cuckoo_update(blobs: DataFrame, changes: DataFrame, cfg: CrawlConfig,
+                  url: str = "canonical_url", op: str = "op") -> DataFrame:
+    """Apply ±deltas (op ∈ {'add','del'}) to cuckoo blobs, cogrouped."""
+    keyed = with_seen_keys(changes, cfg, url).select("part_id", "h1", F.col(op))
+    n_default = cuckoo_capacity(cfg.bloom_expected)
+
+    def _apply(_key, ops: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if len(blob):
+            n = int(blob["n_buckets"].iloc[0])
+            table = np.frombuffer(blob["table"].iloc[0], dtype=np.uint16).copy()
+        else:
+            n = n_default
+            table = np.zeros(n * _CUCKOO_SLOTS, dtype=np.uint16)
+        ck = _CuckooTable(table, n)
+        pid = (int(ops["part_id"].iloc[0]) if len(ops)
+               else int(blob["part_id"].iloc[0]))
+        if len(ops):
+            h1 = ops["h1"].to_numpy(np.int64)
+            fp = _cuckoo_fingerprint(h1)
+            i1 = np.mod(h1.astype(np.uint64), np.uint64(n)).astype(np.int64)
+            for a, b, o in zip(i1.tolist(), fp.tolist(), ops[op].tolist()):
+                (ck.delete if o == "del" else ck.insert)(a, b)
+        return pd.DataFrame({"part_id": [pid], "table": [table.tobytes()],
+                             "n_buckets": [n]})
+
+    return (keyed.groupBy("part_id").cogroup(blobs.groupBy("part_id"))
+            .applyInPandas(_apply, CUCKOO_SCHEMA))
+
+
+def cuckoo_maybe_seen(frontier: DataFrame, blobs: DataFrame, cfg: CrawlConfig,
+                      url: str = "canonical_url",
+                      flag: str = "maybe_seen") -> DataFrame:
+    """Probe cuckoo blobs; same contract as :func:`bloom_maybe_seen`."""
+    keyed = with_seen_keys(frontier, cfg, url)
+    carry = [c for c in keyed.columns if c not in ("h1", "h2")]
+    out_schema = StructType(
+        [f for f in keyed.schema.fields if f.name not in ("h1", "h2")]
+        + [StructField(flag, BooleanType(), False)])
+
+    def _probe(_key, rows: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if not len(rows):
+            return pd.DataFrame(columns=carry + [flag])
+        out = rows[carry].copy()
+        if not len(blob):
+            out[flag] = False
+            return out
+        n = int(blob["n_buckets"].iloc[0])
+        table = np.frombuffer(blob["table"].iloc[0], dtype=np.uint16)
+        ck = _CuckooTable(table.copy(), n)
+        h1 = rows["h1"].to_numpy(np.int64)
+        fp = _cuckoo_fingerprint(h1)
+        i1 = np.mod(h1.astype(np.uint64), np.uint64(n)).astype(np.int64)
+        out[flag] = ck.contains(i1, fp)
+        return out
+
+    return (keyed.groupBy("part_id").cogroup(blobs.groupBy("part_id"))
+            .applyInPandas(_probe, out_schema))

@@ -1,0 +1,158 @@
+"""One scheduling round as a single declarative DataFrame pipeline.
+
+Spark-equivalent of the reference lifecycle (SURVEY.md §3.1):
+
+    frontier scan → canonicalize → seen anti-membership → in-batch dedup →
+    per-host politeness ranking + budget admission → filter chain
+    (include/exclude, size) → fetch join → MIME filter → extract → project →
+    status splits (stored / discarded / failed) + seen delta
+
+Design for 100 TB scale:
+
+- **Schedule on narrow columns.** Everything up to admission touches only
+  (url, host, bucket, key, size, priority, discovery_time) — never contents
+  or spans; payload columns join back *after* admission shrinks the data
+  (column pruning + late materialization, SURVEY.md §4.1).
+- **Admission is the only heavy shuffle** (window over host); skew-aware
+  salting bounds per-task input (operators/politeness.py).
+- **Filters route, never drop** — one pass produces all three sinks + stats;
+  E1/E2/E3 semantics preserved exactly (operators/filters.py).
+- **Determinism**: every ordering has a total tie-break (… , url); output is
+  invariant under partition count / parallelism (tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.functions.urls import build_object_url, canonicalize_url
+from fess_ds_s3_spark.operators import politeness, seen as seen_ops
+from fess_ds_s3_spark.operators.extract import (fetch_payloads,
+                                                route_fetch_and_extract)
+from fess_ds_s3_spark.operators.filters import (STATUS_DISCARDED,
+                                                STATUS_FAILED, STATUS_STORED,
+                                                apply_max_size_guard,
+                                                apply_mimetype_filter,
+                                                apply_url_filter,
+                                                bucket_filter,
+                                                with_status_columns)
+from fess_ds_s3_spark.operators.project import build_object_map
+
+
+@dataclass
+class RoundResult:
+    """All outputs of one round; each is a (lazily evaluated) DataFrame."""
+    admitted: DataFrame     # admission log: host, host_rank, url, ...
+    processed: DataFrame    # routed rows with status column
+    stored: DataFrame
+    discarded: DataFrame
+    failed: DataFrame
+    seen_delta: DataFrame   # canonical_url + url_hash of every admitted URL
+
+
+def prepare_frontier(frontier: DataFrame, cfg: CrawlConfig, *,
+                     encode_urls: bool = True) -> DataFrame:
+    """Attach url (if absent), canonical_url, host. Narrow, codegen-friendly."""
+    df = bucket_filter(frontier, cfg)
+    if "url" not in df.columns or dict(df.dtypes).get("url") == "void":
+        df = df.drop("url").withColumn(
+            "url", build_object_url("bucket", "key", cfg.region,
+                                    cfg.endpoint, encode=encode_urls))
+    else:
+        df = df.withColumn(
+            "url", F.coalesce(
+                F.col("url"),
+                build_object_url("bucket", "key", cfg.region, cfg.endpoint,
+                                 encode=encode_urls)))
+    df = df.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    if "host" not in df.columns or dict(df.dtypes).get("host") == "void":
+        df = df.drop("host").withColumn(
+            "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+    else:
+        df = df.withColumn(
+            "host", F.coalesce(F.col("host"),
+                               F.lower(F.parse_url(F.col("url"),
+                                                   F.lit("HOST")))))
+    return df
+
+
+def dedup_in_batch(df: DataFrame,
+                   rank_by=politeness.DEFAULT_RANK_COLS) -> DataFrame:
+    """First-by-rank per canonical URL within the batch (oracle: in-batch
+    dedup before budget counting)."""
+    w = Window.partitionBy("canonical_url").orderBy(
+        *[F.col(c).asc() for c in rank_by])
+    return (df.withColumn("_dup_rank", F.row_number().over(w))
+            .filter(F.col("_dup_rank") == 1).drop("_dup_rank"))
+
+
+def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
+             seen_exact: DataFrame | None = None,
+             blooms: DataFrame | None = None,
+             host_budgets: DataFrame | None = None,
+             use_salting: bool = True,
+             encode_urls: bool = True) -> DataFrame:
+    """Scheduling half of the round: returns the admitted batch with
+    ``host_rank`` (the within-host admission sequence)."""
+    df = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
+    if seen_exact is not None:
+        df = seen_ops.filter_unseen(df, seen_exact, blooms, cfg)
+    df = dedup_in_batch(df)
+    admit = (politeness.admit_per_host_salted if use_salting
+             else politeness.admit_per_host)
+    return admit(df, cfg, host_budgets=host_budgets)
+
+
+def process(admitted: DataFrame, cfg: CrawlConfig,
+            payloads: DataFrame | None = None, *,
+            encode_urls: bool = True) -> DataFrame:
+    """Processing half: filter chain + fetch + extract + project. Returns
+    the wide documents rows with status routing columns."""
+    df = with_status_columns(admitted)
+    df = apply_url_filter(df, cfg)
+    df = apply_max_size_guard(df, cfg)
+    if payloads is not None:
+        df = fetch_payloads(df, payloads)
+        df = apply_mimetype_filter(df, cfg)
+        df = route_fetch_and_extract(df, cfg)
+    else:
+        # listing-only crawl (no payload table): metadata-only store
+        df = (df.withColumn("resp_content_type",
+                            F.lit(None).cast("string"))
+              .withColumn("contents", F.lit(None).cast("string"))
+              .withColumn("status",
+                          F.when(F.col("status") == "pending",
+                                 F.lit(STATUS_STORED))
+                          .otherwise(F.col("status"))))
+    return build_object_map(df, cfg, encode_urls=encode_urls)
+
+
+def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
+              payloads: DataFrame | None = None,
+              seen_exact: DataFrame | None = None,
+              blooms: DataFrame | None = None,
+              host_budgets: DataFrame | None = None,
+              use_salting: bool = True,
+              encode_urls: bool = True) -> RoundResult:
+    """Full round. The admitted batch is the pivot: it is small (budget-
+    bounded), so caching it avoids recomputing the scheduling shuffle for
+    each of the three sink writes + the seen delta."""
+    admitted = schedule(
+        frontier, cfg, seen_exact=seen_exact, blooms=blooms,
+        host_budgets=host_budgets, use_salting=use_salting,
+        encode_urls=encode_urls)
+    processed = process(admitted, cfg, payloads, encode_urls=encode_urls)
+    return RoundResult(
+        admitted=admitted,
+        processed=processed,
+        stored=processed.filter(F.col("status") == STATUS_STORED),
+        discarded=processed.filter(F.col("status") == STATUS_DISCARDED),
+        failed=processed.filter(F.col("status") == STATUS_FAILED),
+        seen_delta=admitted.select(
+            "canonical_url",
+            F.xxhash64("canonical_url").alias("url_hash")).distinct(),
+    )

@@ -1,0 +1,159 @@
+"""Snapshot-table storage: Iceberg-semantics checkpointing for the crawl state.
+
+The north rule calls for Iceberg tables ("checkpointed to Iceberg snapshots
+so the crawl resumes exactly with per-partition lineage"). This sandbox has
+no Iceberg runtime jar (and no network to fetch one), so this module provides
+the same *semantics* over plain parquet:
+
+- **append(df)** → a new immutable snapshot: the delta is written to its own
+  directory; the manifest records the cumulative list of data directories.
+- **overwrite(df)** → a new snapshot whose data-file list is reset.
+- **read(snapshot_id=None)** → DataFrame over exactly the data files of that
+  snapshot (default: current) — time travel.
+- **commit is atomic** — manifest written to a temp file then ``os.replace``.
+- per-snapshot **lineage metadata** (round id, parent snapshot, caller
+  metrics) is stored in the manifest, satisfying the "per-partition lineage +
+  metrics" requirement together with ``plans.lineage``.
+
+On a real cluster, swap this class for Iceberg by replacing ``append`` with
+``df.writeTo(name).append()`` and ``read`` with
+``spark.read.option("snapshot-id", ...).table(name)`` — the round pipeline
+only touches this interface (see plans/round.py), nothing else changes.
+
+The reference's resume primitive is keyset pagination (``startAfter =
+lastKey``, AmazonS3Client.java:144-146); snapshots generalize it: a crashed
+run re-reads the last committed snapshot and continues bit-identically
+(tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    mode: str  # append | overwrite
+    data_dirs: list[str]
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+class SnapshotTable:
+    """A named, versioned parquet table under a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(warehouse, name)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    # ----- manifest ---------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _load(self) -> dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "snapshots": []}
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict[str, Any]) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # ----- public API -------------------------------------------------------
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._load()["snapshots"]]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._load()["current"]
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
+
+    def _snapshot(self, manifest: dict[str, Any],
+                  snapshot_id: int | None) -> Snapshot | None:
+        snaps = manifest["snapshots"]
+        if not snaps:
+            return None
+        if snapshot_id is None:
+            snapshot_id = manifest["current"]
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return Snapshot(**s)
+        raise KeyError(f"{self.name}: no snapshot {snapshot_id}")
+
+    def _write_data_dir(self, df: DataFrame) -> str:
+        rel = os.path.join("data", f"snap-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _new(self, df: DataFrame, mode: str,
+             metadata: dict[str, Any] | None) -> int:
+        manifest = self._load()
+        parent = self._snapshot(manifest, None)
+        rel = self._write_data_dir(df)
+        dirs = [rel] if mode == "overwrite" else (
+            (parent.data_dirs if parent else []) + [rel])
+        snap_id = (parent.snapshot_id + 1) if parent else 1
+        manifest["snapshots"].append({
+            "snapshot_id": snap_id,
+            "parent_id": parent.snapshot_id if parent else None,
+            "mode": mode,
+            "data_dirs": dirs,
+            "metadata": {"committed_at": time.time(), **(metadata or {})},
+        })
+        manifest["current"] = snap_id
+        self._commit(manifest)
+        return snap_id
+
+    def append(self, df: DataFrame,
+               metadata: dict[str, Any] | None = None) -> int:
+        return self._new(df, "append", metadata)
+
+    def overwrite(self, df: DataFrame,
+                  metadata: dict[str, Any] | None = None) -> int:
+        return self._new(df, "overwrite", metadata)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._snapshot(self._load(), snapshot_id)
+        if snap is None or not snap.data_dirs:
+            raise KeyError(f"{self.name}: table has no snapshots yet")
+        paths = [os.path.join(self.root, d) for d in snap.data_dirs]
+        return self.spark.read.parquet(*paths)
+
+    def read_or_empty(self, schema, snapshot_id: int | None = None) -> DataFrame:
+        try:
+            return self.read(snapshot_id)
+        except KeyError:
+            return self.spark.createDataFrame([], schema)
+
+    def metadata(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        snap = self._snapshot(self._load(), snapshot_id)
+        return snap.metadata if snap else {}
+
+
+class Catalog:
+    """Tiny named-table catalog over one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.spark, self.warehouse, name)
