@@ -1,0 +1,137 @@
+"""Text analysis for large-scale training-data pipelines.
+
+No reference analog (fess-ds-s3 delegates text handling to Tika/Fess); these
+are the engine-native operations a 100 TB document pipeline needs. All pure
+built-in column expressions (JVM-side, whole-stage codegen) except the BPE-ish
+tokenizer regex, which is still ``F.split`` — zero Python in the hot path.
+
+Design notes for scale: every function here is a narrow projection — no
+shuffle, no UDF serialization; they compose into scans and keep predicate
+pushdown intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword sets for the n-gram language heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "que"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as"]
+
+#: GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count. Empty/blank text → 0."""
+    t = F.trim(_col(text))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer's segmentation."""
+    return F.size(F.regexp_extract_all(_col(text),
+                                       F.lit(BPE_ISH_PATTERN))).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_col(text)).cast("long")
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """punctuation chars / total chars, 4 dp (0.0 for empty text)."""
+    t = _col(text)
+    total = F.length(t)
+    punct = _count_matches(t, r"[^\w\s]")
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(punct.cast("double") / total, 4))
+
+
+def stopword_ratio(text: Column | str,
+                   stopwords: list[str] | None = None) -> Column:
+    """stopword tokens / whitespace tokens, 4 dp."""
+    words = stopwords or EN_STOPWORDS
+    t = F.lower(_col(text))
+    tokens = token_count_ws(t)
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    hits = _count_matches(t, pattern)
+    return F.when(tokens == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / tokens, 4))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    t = F.trim(_col(text))
+    tokens = token_count_ws(t)
+    letters = _count_matches(t, r"\S")
+    return F.when(tokens == 0, F.lit(0.0)).otherwise(
+        F.round(letters.cast("double") / tokens, 4))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1] (4 dp): rewards mid-length docs,
+    normal punctuation density, and presence of stopwords — the standard
+    cheap pre-filter before expensive model-based scoring."""
+    t = _col(text)
+    length_term = F.least(F.length(t).cast("double") / F.lit(500.0),
+                          F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(t) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(t) * 5, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3, 4)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language heuristic: the language with the most marker
+    hits wins; ties and no-hits → 'und'. Deterministic and SQL-expressible
+    (the correctness oracle runs the same rule in ANSI SQL)."""
+    t = F.lower(_col(text))
+    scores = {
+        lang: _count_matches(t, r"\b(?:" + "|".join(ws) + r")\b")
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Exact-dedup fingerprint: md5 of the normalized text (lowercased,
+    whitespace collapsed). md5 exists verbatim in DuckDB → oracle-checkable."""
+    t = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(t)
+
+
+def fingerprint_rolling(text: Column | str, *, base: int = 257,
+                        mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over bytes (Rabin-Karp style) as a 64-bit
+    fingerprint — the incremental-hash variant used for shift-resistant
+    chunk fingerprinting. Built with aggregate() over the char codes;
+    stays JVM-side."""
+    t = _col(text)
+    # fold: h = (h * base + code) % mod over the UTF-8 bytes
+    codes = F.transform(F.split(t, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: (acc * base + c.cast("decimal(38,0)")) % F.lit(mod),
+    ).cast("long")

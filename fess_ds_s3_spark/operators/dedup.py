@@ -1,0 +1,279 @@
+"""Document deduplication at training-data scale.
+
+Four tiers, cheapest-first — a 100 TB dedup pipeline runs them as a funnel:
+
+1. **Exact** — hash-groupBy on a normalized fingerprint (one shuffle on the
+   16-byte hash, not the document text; map-side partial aggregation applies).
+2. **MinHash + LSH** — shingle → minhash signature → band buckets →
+   bucket-join candidate pairs → exact-Jaccard verify. The classic
+   near-dup pipeline (Broder; used by most web-corpus dedups). Everything
+   is built-in explode/groupBy/join except the signature, a vectorized
+   pandas UDF over Arrow batches.
+3. **SimHash** — 64-bit Charikar fingerprint + Hamming-ball blocking (split
+   into 4 × 16-bit chunks; exact-match on any chunk → candidate for
+   Hamming ≤ 3 radius).
+4. **Embedding cosine** — near-dup by vector similarity (operators/
+   similarity.py provides the ANN machinery).
+
+Scale notes: LSH bands are the shuffle key — ``(band_id, band_hash)`` — so
+candidate generation never compares across buckets; skewed buckets (boiler-
+plate shingles) are capped with a per-bucket limit before the pair join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from fess_ds_s3_spark.functions.text import fingerprint_md5
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    One shuffle on the md5 hash; survivor choice is deterministic (min id).
+    """
+    h = fingerprint_md5(F.col(text)).alias("fp")
+    return (df.select(F.col(id_col), h)
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def dedup_exact_keep(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup returning the full surviving rows (window variant)."""
+    w = Window.partitionBy(fingerprint_md5(F.col(text))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingles of the normalized text (distinct, as array)."""
+    t = F.regexp_replace(F.lower(F.trim(
+        F.col(text) if isinstance(text, str) else text)), r"\s+", " ")
+    words = F.split(t, " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+
+
+def explode_shingle_hashes(df: DataFrame, text: str = "text",
+                           id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(id, shingle_hash) rows — xxhash64 per distinct shingle."""
+    return (df.select(F.col(id_col), F.explode(shingles(text, n))
+                      .alias("shingle"))
+            .select(id_col, F.xxhash64("shingle").alias("shingle_hash")))
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text: str = "text",
+                       id_col: str = "doc_id", *, num_hashes: int = 128,
+                       shingle_n: int = 5, seed: int = 42) -> DataFrame:
+    """(id, signature:array<long>) — vectorized universal-hash minhash.
+
+    The per-doc shingle set is hashed JVM-side (xxhash64); the k permutations
+    ``(a*x + b) mod p`` run as one numpy matrix op per Arrow batch.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sign(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for hashes in hash_arrays:
+            if hashes is None or len(hashes) == 0:
+                out.append([int(_MERSENNE)] * len(a))
+                continue
+            x = np.asarray(hashes, dtype=np.int64) % _MERSENNE
+            # (k, n) = a[:,None]*x[None,:] + b → min over shingles
+            sig = ((a[:, None].astype(object) * x[None, :] + b[:, None])
+                   % _MERSENNE).min(axis=1)
+            out.append([int(v) for v in sig])
+        return pd.Series(out)
+
+    sh = (df.select(F.col(id_col),
+                    F.transform(shingles(text, shingle_n),
+                                lambda s: F.xxhash64(s)).alias("sh")))
+    return sh.select(id_col, _sign(F.col("sh")).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", *,
+                        bands: int = 16, max_bucket: int = 50) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) from shared
+    buckets. ``max_bucket`` caps degenerate buckets (boilerplate) — capped
+    buckets are logged by the caller, not silently ideal."""
+    rows_per_band = None  # derived from signature length at runtime
+    sig_len = F.size("signature")
+    rows_col = (sig_len / bands).cast("int")
+    banded = (
+        signatures
+        .select(F.col(id_col),
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.xxhash64(F.concat_ws(
+                        ",", F.transform(
+                            F.slice(F.col("signature"),
+                                    bnd * rows_col + 1, rows_col),
+                            lambda v: v.cast("string"))))))
+                .alias("band_id", "band_hash")))
+    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    capped = (banded.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket))
+    left = capped.select("band_id", "band_hash", F.col(id_col).alias("a"))
+    right = capped.select("band_id", "band_hash", F.col(id_col).alias("b"))
+    return (left.join(right, ["band_id", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingle_hashes: DataFrame,
+                   id_col: str = "doc_id", *,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over candidate pairs: join each side's shingle hashes,
+    count intersection/union. Returns (a, b, inter, union_, jaccard≥τ)."""
+    a_sh = shingle_hashes.select(F.col(id_col).alias("a"),
+                                 F.col("shingle_hash"))
+    b_sh = shingle_hashes.select(F.col(id_col).alias("b"),
+                                 F.col("shingle_hash"))
+    sizes = (shingle_hashes.groupBy(id_col)
+             .agg(F.countDistinct("shingle_hash").alias("n_sh")))
+    inter = (pairs.join(a_sh, "a").join(b_sh, ["b", "shingle_hash"])
+             .groupBy("a", "b")
+             .agg(F.countDistinct("shingle_hash").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("a"),
+                              F.col("n_sh").alias("na")), "a")
+           .join(sizes.select(F.col(id_col).alias("b"),
+                              F.col("n_sh").alias("nb")), "b")
+           .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+           .withColumn("jaccard",
+                       F.round(F.col("inter") / F.col("union_"), 6)))
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "inter", "union_", "jaccard")
+
+
+def dedup_minhash_lsh(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", *, num_hashes: int = 128,
+                      bands: int = 16, shingle_n: int = 5,
+                      threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline → verified duplicate pairs (a < b)."""
+    sigs = minhash_signatures(df, text, id_col, num_hashes=num_hashes,
+                              shingle_n=shingle_n, seed=seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    sh = explode_shingle_hashes(df, text, id_col, n=shingle_n)
+    return jaccard_verify(pairs, sh, id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, no sketch — the oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
+                        id_col: str = "doc_id", *, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All-pairs exact word-n-gram Jaccard ≥ τ via shingle inverted index.
+
+    Quadratic in the worst case — use for modest corpora or as the verify
+    stage; the LSH variant is the scale path. Integer outputs (inter/union)
+    keep it oracle-checkable bit-for-bit.
+    """
+    sh = explode_shingle_hashes(df, text, id_col, n=n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle_hash")
+    b = sh.select(F.col(id_col).alias("b"), "shingle_hash")
+    inter = (a.join(b, "shingle_hash").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("n_sh").alias("na")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("n_sh").alias("nb")), "b")
+            .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+            .filter(F.col("inter").cast("double")
+                    >= F.col("union_") * threshold)
+            .select("a", "b", "inter", "union_"))
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit Charikar simhash per document (vectorized pandas UDF: token
+    hash bit-votes), plus 4 × 16-bit block keys for Hamming-ball blocking."""
+
+    @pandas_udf(LongType())
+    def _simhash(token_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hashes in token_hashes:
+            if hashes is None or len(hashes) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1))
+            votes = (bits * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.where(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out)
+
+    tokens = F.transform(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text))),
+                                 r"\s+", " "), " "),
+        lambda w: F.xxhash64(w))
+    sig = df.select(F.col(id_col), _simhash(tokens).alias("simhash"))
+    for blk in range(4):
+        sig = sig.withColumn(
+            f"block{blk}",
+            F.shiftrightunsigned("simhash", blk * 16).bitwiseAND(F.lit(0xFFFF)))
+    return sig
+
+
+def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", *,
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` using 4-block
+    pigeonhole blocking (any pair within Hamming ≤ 3 of 64 bits shares at
+    least one exact 16-bit block)."""
+    pairs = None
+    for blk in range(4):
+        l = sigs.select(F.col(id_col).alias("a"),
+                        F.col("simhash").alias("sig_a"), F.col(f"block{blk}"))
+        r = sigs.select(F.col(id_col).alias("b"),
+                        F.col("simhash").alias("sig_b"), F.col(f"block{blk}"))
+        p = (l.join(r, f"block{blk}").filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.distinct()
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** — exact baseline: a crossJoin of queries ×
+  corpus with a JVM-side dot product (``F.zip_with`` + ``F.aggregate``),
+  window top-k per query. Correct at any scale where |queries| × |corpus|
+  pairs fit a shuffle; the oracle-checkable variant.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: sign-random-
+  projection buckets (b bits per table, t tables); candidates = bucket
+  collisions in any table; exact re-rank of candidates only. Recall tunes
+  with (b, t); cost drops from |Q|×|C| to sum of bucket sizes.
+- **IVF (k-means-lite)** — coarse quantizer via deterministic seeded
+  centroid init + a few Lloyd iterations (all DataFrame ops), probe the
+  ``nprobe`` nearest centroids per query.
+
+All vector math stays in the JVM (higher-order functions) or numpy inside
+Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float|double> columns (float64 acc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
+                     q_id: str = "query_id", c_id: str = "vec_id",
+                     q_vec: str = "query_vec", c_vec: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k per query → (query_id, vec_id, rank).
+
+    The corpus side is broadcast when small; for a big corpus Spark shuffles
+    the crossJoin — acceptable for the exactness baseline, replaced by
+    :func:`ann_lsh_topk` at scale. Rank ties break by vec_id (total order →
+    deterministic output).
+    """
+    joined = queries.crossJoin(corpus)
+    if exclude_self:
+        joined = joined.filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(
+        q_id, c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(),
+                                         F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "rank", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(tables, bits, dim)).astype(np.float64)
+
+
+def srp_bucket_udf(dim: int, *, bits: int = 12, tables: int = 4,
+                   seed: int = 42):
+    """Returns a pandas UDF: embedding → array of ``tables`` bucket keys."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = []
+        keys = np.empty((len(mat), tables), dtype=np.int64)
+        for t in range(tables):
+            signs = (mat @ planes[t].T) > 0  # (n, bits)
+            keys[:, t] = signs @ weights + (t << 48)  # disjoint per table
+        for row in keys:
+            out.append([int(v) for v in row])
+        return pd.Series(out)
+
+    return _buckets
+
+
+def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, *,
+                 k: int = 10, bits: int = 12, tables: int = 4,
+                 seed: int = 42, q_id: str = "query_id",
+                 c_id: str = "vec_id", q_vec: str = "query_vec",
+                 c_vec: str = "embedding",
+                 exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: SRP bucket join → exact cosine re-rank of
+    candidates. Each side is hashed once; the join key is (bucket)."""
+    bucketize = srp_bucket_udf(dim, bits=bits, tables=tables, seed=seed)
+    qb = (queries.withColumn("_b", F.explode(bucketize(F.col(q_vec)))))
+    cb = (corpus.withColumn("_b", F.explode(bucketize(F.col(c_vec)))))
+    cand = (qb.join(cb, "_b")
+            .select(q_id, c_id, q_vec, c_vec).distinct())
+    if exclude_self:
+        cand = cand.filter(F.col(q_id) != F.col(c_id))
+    scored = cand.select(
+        q_id, c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(),
+                                         F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "rank", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer probe)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, *,
+               c_id: str = "vec_id", c_vec: str = "embedding",
+               cent_id: str = "centroid_id",
+               cent_vec: str = "centroid") -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        c_id, cent_id, cosine(F.col(c_vec), F.col(cent_vec)).alias("cos"))
+    w = Window.partitionBy(c_id).orderBy(F.col("cos").desc(),
+                                         F.col(cent_id).asc())
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1).select(c_id, cent_id))
+
+
+def train_centroids(corpus: DataFrame, n_centroids: int, *, iters: int = 3,
+                    seed: int = 42, c_id: str = "vec_id",
+                    c_vec: str = "embedding") -> DataFrame:
+    """Deterministic k-means-lite: seed centroids by hashed sample, then
+    ``iters`` Lloyd steps, all as DataFrame aggregations."""
+    dim_row = corpus.select(F.size(c_vec)).first()
+    dim = dim_row[0]
+    cents = (corpus
+             .withColumn("_h", F.pmod(F.xxhash64(F.lit(seed), F.col(c_id)),
+                                      F.lit(1_000_000)))
+             .orderBy("_h").limit(n_centroids)
+             .select(F.monotonically_increasing_id().alias("centroid_id"),
+                     F.col(c_vec).alias("centroid")))
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, c_id=c_id, c_vec=c_vec)
+        agg = (corpus.join(assigned, c_id)
+               .select("centroid_id", F.posexplode(c_vec)
+                       .alias("pos", "val"))
+               .groupBy("centroid_id", "pos")
+               .agg(F.avg("val").alias("mean")))
+        cents = (agg.groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mean")))
+                      .alias("pm"))
+                 .select("centroid_id",
+                         F.transform("pm", lambda s: s["mean"].cast("float"))
+                         .alias("centroid")))
+    return cents
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, *,
+             k: int = 10, nprobe: int = 2, q_id: str = "query_id",
+             c_id: str = "vec_id", q_vec: str = "query_vec",
+             c_vec: str = "embedding",
+             exclude_self: bool = True) -> DataFrame:
+    """IVF probe: nearest ``nprobe`` centroids per query → exact re-rank
+    within those inverted lists only."""
+    assigned = ivf_assign(corpus, centroids, c_id=c_id, c_vec=c_vec)
+    listed = corpus.join(assigned, c_id)
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        q_id, q_vec, "centroid_id",
+        cosine(F.col(q_vec), F.col("centroid")).alias("ccos"))
+    w = Window.partitionBy(q_id).orderBy(F.col("ccos").desc(),
+                                         F.col("centroid_id").asc())
+    probes = (q_scored.withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= nprobe).select(q_id, q_vec,
+                                                    "centroid_id"))
+    cand = probes.join(listed, "centroid_id")
+    if exclude_self:
+        cand = cand.filter(F.col(q_id) != F.col(c_id))
+    scored = cand.select(
+        q_id, c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"))
+    w2 = Window.partitionBy(q_id).orderBy(F.col("cos").desc(),
+                                          F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k).select(q_id, c_id, "rank", "cos"))

@@ -1,0 +1,248 @@
+"""Multi-round crawl driver: round loop + snapshot checkpointing + resume.
+
+The reference's ``storeData`` (AmazonS3DataStore.java:144-164) runs one
+list→process pass; its resume primitive is keyset pagination (``startAfter =
+lastKey``, AmazonS3Client.java:144-146). The engine generalizes both:
+
+- each **round** is one declarative DataFrame pipeline (plans/round.py)
+  whose outputs are committed to snapshot tables (sources/snapshots.py):
+  ``indexed`` (S5), ``failures`` (S6), ``stats`` + ``lineage`` (S7),
+  ``seen`` / ``seen_bloom`` (F5), ``frontier`` (link-extracted discoveries),
+  and a ``rounds`` ledger mapping round → snapshot ids.
+- **resume**: the driver re-reads the last committed round from the
+  ``rounds`` ledger and continues; a crash between commits replays the
+  round idempotently because admission is a pure function of
+  (frontier snapshot, seen snapshot, config) — all nondeterminism is
+  confined to task timing, never to committed state (SURVEY.md §4.3).
+- **link extraction** closes the crawl loop: stored documents' media_ref
+  spans become next-round frontier candidates (discovery_time = round
+  sequence, priority = parent priority + 1).
+
+Commit order per round matters for crash safety: sinks first, ``seen`` next,
+``rounds`` ledger LAST. The ledger commit is the round's commit point.
+Every sink row is stamped with its round id, and all reads — both the
+driver's own (``committed_seen``) and user-facing (``read_committed``) —
+filter to rounds ≤ the last ledger-committed round. A crash before the
+ledger commit therefore leaves invisible orphan rows (replayed cleanly and
+re-appended; the orphans stay invisible forever), and a crash after it
+resumes at round N+1. The bloom blob may contain uncommitted URLs after a
+crash — harmless: bloom positives are always confirmed against the exact
+committed ledger, so extra bits cost a little confirm work, never
+correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.operators import seen as seen_ops
+from fess_ds_s3_spark.operators.extract import extract_links
+from fess_ds_s3_spark.plans import lineage as lineage_ops
+from fess_ds_s3_spark.plans import round as round_plan
+from fess_ds_s3_spark.sources.snapshots import Catalog
+
+SEEN_SCHEMA = StructType([
+    StructField("canonical_url", StringType(), True),
+    StructField("url_hash", LongType(), True),
+    StructField("round", IntegerType(), True),
+])
+
+ROUNDS_SCHEMA = StructType([
+    StructField("round", IntegerType(), False),
+    StructField("frontier_snapshot", IntegerType(), True),
+    StructField("seen_snapshot", IntegerType(), True),
+    StructField("admitted", LongType(), True),
+    StructField("stored", LongType(), True),
+    StructField("discarded", LongType(), True),
+    StructField("failed", LongType(), True),
+])
+
+
+@dataclass
+class RoundSummary:
+    round_id: int
+    admitted: int
+    stored: int
+    discarded: int
+    failed: int
+    new_links: int
+
+
+class CrawlDriver:
+    """Owns the table catalog and the round loop for one crawl."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, cfg: CrawlConfig,
+                 *, use_bloom: bool = True, use_salting: bool = True,
+                 encode_urls: bool = True):
+        self.spark = spark
+        self.cfg = cfg
+        self.use_bloom = use_bloom
+        self.use_salting = use_salting
+        self.encode_urls = encode_urls
+        self.catalog = Catalog(spark, warehouse)
+        self.frontier = self.catalog.table("frontier")
+        self.seen = self.catalog.table("seen")
+        self.seen_bloom = self.catalog.table("seen_bloom")
+        self.indexed = self.catalog.table("indexed")
+        self.failures = self.catalog.table("failures")
+        self.stats = self.catalog.table("stats")
+        self.lineage = self.catalog.table("lineage")
+        self.rounds = self.catalog.table("rounds")
+
+    # ----- state ------------------------------------------------------------
+
+    def last_round(self) -> int:
+        """Highest committed round id, or -1 (resume entry point)."""
+        if not self.rounds.exists():
+            return -1
+        row = self.rounds.read().agg(F.max("round")).first()
+        return row[0] if row[0] is not None else -1
+
+    def seed(self, frontier_df: DataFrame) -> int:
+        """Install the seed frontier (round 0 candidates)."""
+        return self.frontier.append(frontier_df, {"kind": "seed"})
+
+    def committed_seen(self) -> DataFrame:
+        """Seen rows from committed rounds only (crash-replay safety)."""
+        return (self.seen.read_or_empty(SEEN_SCHEMA)
+                .filter(F.col("round") <= F.lit(self.last_round())))
+
+    def read_committed(self, table_name: str) -> DataFrame:
+        """User-facing read of a sink table, restricted to committed rounds."""
+        table = self.catalog.table(table_name)
+        return table.read().filter(F.col("round") <= F.lit(self.last_round()))
+
+    # ----- one round ----------------------------------------------------------
+
+    def run_round(self, round_id: int,
+                  payloads: DataFrame | None = None,
+                  host_budgets: DataFrame | None = None,
+                  docs: DataFrame | None = None) -> RoundSummary:
+        """Execute + commit round ``round_id``.
+
+        ``docs``: optional (doc_id, spans) payload table joined to stored
+        rows by doc_id for link extraction (interleaved text+media docs).
+        """
+        cfg = self.cfg
+        frontier_df = self.frontier.read()
+        seen_df = self.committed_seen()
+        blooms = (self.seen_bloom.read() if
+                  (self.use_bloom and self.seen_bloom.exists()) else None)
+
+        result = round_plan.run_round(
+            frontier_df, cfg, payloads=payloads,
+            seen_exact=seen_df.select("canonical_url"),
+            blooms=blooms, host_budgets=host_budgets,
+            use_salting=self.use_salting, encode_urls=self.encode_urls)
+
+        observed, obs = lineage_ops.observe_round(result.processed)
+        # Cache the small admitted batch: it feeds 5 writes below.
+        admitted = result.admitted.persist()
+        processed = observed.withColumn("round", F.lit(round_id)).persist()
+
+        # 1-3. sinks (S5, S6, S7)
+        stored_cols = [c for c in processed.columns if c != "content"]
+        self.indexed.append(
+            processed.filter(F.col("status") == "stored").select(*stored_cols),
+            {"round": round_id})
+        self.failures.append(
+            processed.filter(F.col("status") == "failed")
+            .select("url", "error_name", "error_message", "round"),
+            {"round": round_id})
+        self.stats.append(lineage_ops.stats_events(processed, round_id),
+                          {"round": round_id})
+        self.lineage.append(lineage_ops.partition_lineage(admitted, round_id),
+                            {"round": round_id})
+        metrics: dict[str, Any] = dict(obs.get)
+
+        # 4. seen delta (every admitted URL, stored or not)
+        seen_snap = self.seen.append(
+            result.seen_delta.withColumn("round", F.lit(round_id)),
+            {"round": round_id})
+        if self.use_bloom:
+            new_bloom = seen_ops.build_bloom(result.seen_delta, cfg)
+            merged = (seen_ops.merge_blooms(blooms, new_bloom)
+                      if blooms is not None else new_bloom)
+            self.seen_bloom.overwrite(merged, {"round": round_id})
+
+        # 5. link extraction → next-round frontier candidates
+        new_links = 0
+        if docs is not None:
+            # join stored rows to their span payloads: by doc_id when the
+            # docs table carries one, else by url
+            join_key = "doc_id" if ("doc_id" in docs.columns
+                                    and "doc_id" in processed.columns) else "url"
+            stored_docs = (processed.filter(F.col("status") == "stored")
+                           .select(join_key).join(docs, join_key))
+            if "doc_id" not in stored_docs.columns:
+                stored_docs = stored_docs.withColumn("doc_id", F.col("url"))
+            links = extract_links(stored_docs)
+            candidates = self._frontier_candidates(links, round_id + 1)
+            new_links = candidates.count()
+            if new_links:
+                self.frontier.append(candidates, {"round": round_id + 1,
+                                                  "kind": "links"})
+        frontier_snap = self.frontier.current_snapshot_id()
+
+        # 6. round ledger — THE commit point
+        summary = RoundSummary(
+            round_id=round_id,
+            admitted=int(metrics.get("admitted") or 0),
+            stored=int(metrics.get("stored") or 0),
+            discarded=int(metrics.get("discarded") or 0),
+            failed=int(metrics.get("failed") or 0),
+            new_links=new_links)
+        self.rounds.append(
+            self.spark.createDataFrame(
+                [(round_id, frontier_snap, seen_snap, summary.admitted,
+                  summary.stored, summary.discarded, summary.failed)],
+                ROUNDS_SCHEMA),
+            {"round": round_id})
+        admitted.unpersist()
+        processed.unpersist()
+        return summary
+
+    def _frontier_candidates(self, links: DataFrame,
+                             round_id: int) -> DataFrame:
+        """Shape link-extracted URLs as frontier rows. The seen-set (next
+        round) handles duplicates; priority = 1 (below seeds' 0)."""
+        return links.select(
+            F.lit("_links").alias("bucket"),
+            F.regexp_replace("url", "^https?://[^/]+/", "").alias("key"),
+            F.col("url"),
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+            F.lit(0).cast("long").alias("size"),
+            F.md5("url").alias("etag"),
+            F.to_timestamp(F.lit("2020-01-01")).alias("last_modified"),
+            F.lit(None).cast("string").alias("owner_id"),
+            F.lit(None).cast("string").alias("owner_display_name"),
+            F.lit("STANDARD").alias("storage_class"),
+            F.lit(1).alias("priority"),
+            # deterministic discovery order: round sequence, not wall clock
+            F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
+            F.lit(round_id).alias("round"),
+        )
+
+    # ----- loop ---------------------------------------------------------------
+
+    def run(self, n_rounds: int, payloads: DataFrame | None = None,
+            host_budgets: DataFrame | None = None,
+            docs: DataFrame | None = None,
+            stop_when_empty: bool = True) -> list[RoundSummary]:
+        """Run/resume the crawl for up to ``n_rounds`` further rounds."""
+        summaries = []
+        start = self.last_round() + 1
+        for round_id in range(start, start + n_rounds):
+            summary = self.run_round(round_id, payloads=payloads,
+                                     host_budgets=host_budgets, docs=docs)
+            summaries.append(summary)
+            if stop_when_empty and summary.admitted == 0:
+                break
+        return summaries

@@ -1,0 +1,118 @@
+"""Multi-round crawl: loop, seen-set growth, link extraction, resume
+bit-equivalence (the engine analog of keyset-pagination restartability,
+AmazonS3Client.java:144-146 / AmazonS3ClientTest.java:187-201)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.plans.crawl import CrawlDriver
+from fess_ds_s3_spark.sources import synthetic
+
+
+@pytest.fixture()
+def cfg():
+    return CrawlConfig(region="us-east-1", default_host_budget=10,
+                       bloom_expected=10_000, seen_partitions=8)
+
+
+def _admission_set(driver):
+    return {r.canonical_url for r in driver.committed_seen().collect()}
+
+
+class TestMultiRound:
+    def test_rounds_consume_frontier_exactly_once(self, spark, cfg, tmp_path):
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        frontier = synthetic.synth_frontier(spark, 200, n_hosts=10, seed=5)
+        driver.seed(frontier)
+        summaries = driver.run(n_rounds=50)
+        # every distinct canonical URL admitted exactly once across rounds
+        total_admitted = sum(s.admitted for s in summaries)
+        distinct_urls = (frontier
+                         .select(F.col("url")).distinct().count())
+        assert total_admitted == distinct_urls
+        assert summaries[-1].admitted == 0  # terminated by empty round
+        # per-round budget respected
+        for s in summaries[:-1]:
+            assert s.admitted <= 10 * 10  # hosts × budget
+
+    def test_round_isolation_and_ledger(self, spark, cfg, tmp_path):
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 60, n_hosts=4, seed=9))
+        driver.run(n_rounds=3, stop_when_empty=False)
+        rounds = {r.round for r in driver.rounds.read().collect()}
+        assert rounds == {0, 1, 2}
+        indexed = driver.read_committed("indexed")
+        assert indexed.count() > 0
+        assert set(indexed.select("round").distinct().toPandas()["round"]) \
+            <= {0, 1, 2}
+
+    def test_link_extraction_feeds_frontier(self, spark, cfg, tmp_path):
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        frontier = synthetic.synth_frontier(spark, 30, n_hosts=3, seed=2)
+        docs = (frontier.select("url")
+                .withColumn("doc_id", F.col("url"))
+                .withColumn("spans", F.array(
+                    F.struct(F.lit("text").alias("kind"),
+                             F.lit("hello").alias("text"),
+                             F.lit(None).cast("string").alias("media_ref"),
+                             F.lit(0).alias("offset")),
+                    F.struct(F.lit("media").alias("kind"),
+                             F.lit(None).cast("string").alias("text"),
+                             F.concat(F.lit("https://linked.example.com/m/"),
+                                      F.md5("url")).alias("media_ref"),
+                             F.lit(1).alias("offset")))))
+        driver.seed(frontier)
+        s0 = driver.run_round(0, docs=docs)
+        assert s0.new_links > 0
+        s1 = driver.run_round(1, docs=docs)
+        # round 1 admits the linked host's URLs (budget-capped)
+        linked = (driver.read_committed("indexed")
+                  .filter(F.col("round") == 1)
+                  .filter(F.col("url").startswith(
+                      "https://linked.example.com/")))
+        assert linked.count() == min(s1.admitted, cfg.default_host_budget)
+
+
+class TestResume:
+    def test_resume_equals_uninterrupted(self, spark, cfg, tmp_path):
+        """Run 4 rounds straight vs 2 + new-driver + 2: committed state must
+        be identical (resume bit-equivalence, SURVEY.md §7 hard part 6)."""
+        frontier = synthetic.synth_frontier(spark, 150, n_hosts=8, seed=13)
+
+        d_straight = CrawlDriver(spark, str(tmp_path / "a"), cfg)
+        d_straight.seed(frontier)
+        d_straight.run(n_rounds=4, stop_when_empty=False)
+
+        d_part1 = CrawlDriver(spark, str(tmp_path / "b"), cfg)
+        d_part1.seed(frontier)
+        d_part1.run(n_rounds=2, stop_when_empty=False)
+        # simulate process death: fresh driver over the same warehouse
+        d_part2 = CrawlDriver(spark, str(tmp_path / "b"), cfg)
+        assert d_part2.last_round() == 1
+        d_part2.run(n_rounds=2, stop_when_empty=False)
+
+        assert _admission_set(d_straight) == _admission_set(d_part2)
+        a = {(r.url, r.round) for r in
+             d_straight.read_committed("indexed").select("url", "round")
+             .collect()}
+        b = {(r.url, r.round) for r in
+             d_part2.read_committed("indexed").select("url", "round")
+             .collect()}
+        assert a == b
+
+    def test_crash_before_ledger_commit_is_invisible(self, spark, cfg,
+                                                     tmp_path):
+        """Orphan sink rows from an uncommitted round never surface."""
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 50, n_hosts=4, seed=3))
+        driver.run_round(0)
+        # simulate a crash mid-round-1: sink rows written, ledger not
+        fake = driver.indexed.read().limit(5).withColumn("round", F.lit(1))
+        driver.indexed.append(fake, {"round": 1})
+        resumed = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        assert resumed.last_round() == 0
+        visible = resumed.read_committed("indexed")
+        assert visible.filter(F.col("round") > 0).count() == 0
