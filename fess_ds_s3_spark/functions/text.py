@@ -43,8 +43,8 @@ def token_count_ws(text: Column | str) -> Column:
 
 def token_count_bpe_ish(text: Column | str) -> Column:
     """Regex token count approximating a BPE pre-tokenizer's segmentation."""
-    return F.size(F.regexp_extract_all(_col(text),
-                                       F.lit(BPE_ISH_PATTERN))).cast("long")
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN),
+                                       F.lit(0))).cast("long")
 
 
 def char_count(text: Column | str) -> Column:
@@ -52,7 +52,7 @@ def char_count(text: Column | str) -> Column:
 
 
 def _count_matches(text: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(pattern)))
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -122,16 +122,17 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 
 def fingerprint_rolling(text: Column | str, *, base: int = 257,
-                        mod: int = (1 << 61) - 1) -> Column:
-    """Polynomial rolling hash over bytes (Rabin-Karp style) as a 64-bit
-    fingerprint — the incremental-hash variant used for shift-resistant
-    chunk fingerprinting. Built with aggregate() over the char codes;
-    stays JVM-side."""
+                        mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over chars (Rabin-Karp style) fingerprint —
+    the incremental-hash family used for shift-resistant chunk
+    fingerprinting. Built with aggregate() over the char codes; stays
+    JVM-side. Long arithmetic: with mod < 2^31 the intermediate
+    ``acc*base + code`` stays < 2^40 — no overflow, no decimal widening."""
     t = _col(text)
-    # fold: h = (h * base + code) % mod over the UTF-8 bytes
+    # fold: h = (h * base + code) % mod over the characters
     codes = F.transform(F.split(t, ""), lambda ch: F.ascii(ch))
     return F.aggregate(
         codes,
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, c: (acc * base + c.cast("decimal(38,0)")) % F.lit(mod),
-    ).cast("long")
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(base) + c.cast("long")) % F.lit(mod),
+    )

@@ -1,0 +1,104 @@
+"""Dedup operators: exact, MinHash+LSH vs exact Jaccard, SimHash blocking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.operators import dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    other = "completely different text " * 4
+    rows = []
+    for i in range(30):
+        # exact-duplicate groups: (0,1,2) share base, (3,4) share other
+        if i in (0, 1, 2):
+            rows.append((i, base))
+        elif i in (3, 4):
+            rows.append((i, other))
+        elif i in (5, 6):
+            # near-duplicates of doc 0 with one word changed
+            words = base.split()
+            words[i] = f"changed{i}"
+            rows.append((i, " ".join(words)))
+        else:
+            rows.append((i, " ".join(f"w{i}x{j}" for j in range(20))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExact:
+    def test_dedup_exact_groups(self, spark, docs):
+        out = dedup.dedup_exact(docs).collect()
+        groups = {r.doc_id: r.dup_count for r in out}
+        assert groups[0] == 3  # docs 0,1,2
+        assert groups[3] == 2  # docs 3,4
+        # survivors are the min ids
+        assert 1 not in groups and 2 not in groups and 4 not in groups
+
+    def test_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO WORLD ")],
+            "doc_id long, text string")
+        out = dedup.dedup_exact(df).collect()
+        assert len(out) == 1 and out[0].dup_count == 3
+
+    def test_keep_variant_returns_full_rows(self, spark, docs):
+        out = dedup.dedup_exact_keep(docs)
+        assert set(out.columns) == {"doc_id", "text"}
+        assert out.count() == 30 - 3  # 3 rows removed
+
+
+class TestMinHashLSH:
+    def test_lsh_finds_what_exact_finds(self, spark, docs):
+        """LSH+verify pairs == exact n-gram Jaccard pairs at the same
+        threshold (verify stage makes LSH exact up to candidate recall;
+        128 hashes / 32 bands ⇒ recall ≈ 1 at τ=0.5 for this corpus)."""
+        exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5).collect()}
+        lsh = {(r.a, r.b) for r in dedup.dedup_minhash_lsh(
+            docs, num_hashes=128, bands=32, shingle_n=3,
+            threshold=0.5).collect()}
+        assert lsh == exact
+        assert (0, 5) in exact or (0, 6) in exact  # near-dups found
+
+    def test_exact_pair_counts_are_integers(self, spark, docs):
+        out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        row = out.first()
+        if row is not None:
+            assert row.inter <= row.union_
+
+    def test_signature_determinism(self, spark, docs):
+        s1 = {(r.doc_id, tuple(r.signature)) for r in
+              dedup.minhash_signatures(docs, num_hashes=16).collect()}
+        s2 = {(r.doc_id, tuple(r.signature)) for r in
+              dedup.minhash_signatures(
+                  docs.repartition(7), num_hashes=16).collect()}
+        assert s1 == s2
+
+
+class TestSimHash:
+    def test_identical_docs_distance_zero(self, spark, docs):
+        pairs = dedup.simhash_candidate_pairs(
+            dedup.simhash(docs), max_hamming=0).collect()
+        got = {(r.a, r.b) for r in pairs}
+        assert {(0, 1), (0, 2), (1, 2), (3, 4)} <= got
+
+    def test_blocking_complete_within_radius(self, spark, docs):
+        """Pigeonhole guarantee: every pair with Hamming ≤ 3 must be found
+        by 4-block blocking (compare against brute-force)."""
+        sigs = dedup.simhash(docs)
+        rows = sigs.select("doc_id", "simhash").collect()
+        brute = set()
+        for i, ri in enumerate(rows):
+            for rj in rows[i + 1:]:
+                h = bin((ri.simhash ^ rj.simhash) & (2**64 - 1)).count("1")
+                if h <= 3:
+                    a, b = sorted((ri.doc_id, rj.doc_id))
+                    brute.add((a, b))
+        blocked = {(r.a, r.b) for r in dedup.simhash_candidate_pairs(
+            sigs, max_hamming=3).collect()}
+        assert blocked == brute

@@ -1,0 +1,100 @@
+"""Similarity search: brute-force exactness, LSH/IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StructField,
+                               StructType)
+
+from fess_ds_s3_spark.operators import similarity
+
+DIM = 16
+
+
+@pytest.fixture()
+def corpus(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(200, DIM)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    schema = StructType([StructField("vec_id", LongType(), False),
+                         StructField("embedding", ArrayType(FloatType()),
+                                     False)])
+    return spark.createDataFrame(rows, schema)
+
+
+def _queries(corpus, n=5):
+    return (corpus.filter(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _numpy_topk(corpus_rows, k=10, n_queries=5):
+    ids = np.array([r.vec_id for r in corpus_rows])
+    mat = np.array([r.embedding for r in corpus_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expected = {}
+    for qi in range(n_queries):
+        q = mat[list(ids).index(qi)]
+        sims = mat @ q
+        order = sorted(
+            ((round(s, 6), -i) for i, s in zip(ids, sims) if i != qi),
+            reverse=True)
+        expected[qi] = [int(-ni) for _, ni in order[:k]]
+    return expected
+
+
+class TestBruteForce:
+    def test_matches_numpy(self, spark, corpus):
+        rows = corpus.collect()
+        expected = _numpy_topk(rows, k=10)
+        got = similarity.brute_force_topk(
+            _queries(corpus), corpus, k=10).collect()
+        by_q = {}
+        for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        assert by_q == expected
+
+    def test_deterministic_under_partitioning(self, spark, corpus):
+        a = similarity.brute_force_topk(_queries(corpus), corpus, k=5)
+        b = similarity.brute_force_topk(
+            _queries(corpus.repartition(13)), corpus.repartition(13), k=5)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+
+
+class TestAnnLsh:
+    def test_recall_vs_brute_force(self, spark, corpus):
+        brute = similarity.brute_force_topk(_queries(corpus), corpus, k=5)
+        ann = similarity.ann_lsh_topk(_queries(corpus), corpus, DIM, k=5,
+                                      bits=6, tables=12)
+        b = {(r.query_id, r.vec_id) for r in brute.collect()}
+        a = {(r.query_id, r.vec_id) for r in ann.collect()}
+        recall = len(a & b) / len(b)
+        assert recall >= 0.6  # 12 tables × 6 bits on 16-dim gaussian data
+
+    def test_candidates_subset_scored_exactly(self, spark, corpus):
+        """ANN scores must equal brute-force scores for returned pairs."""
+        brute = {(r.query_id, r.vec_id): r.cos
+                 for r in similarity.brute_force_topk(
+                     _queries(corpus), corpus, k=200).collect()}
+        ann = similarity.ann_lsh_topk(_queries(corpus), corpus, DIM, k=5,
+                                      bits=6, tables=12).collect()
+        for r in ann:
+            assert brute[(r.query_id, r.vec_id)] == pytest.approx(
+                r.cos, abs=1e-6)
+
+
+class TestIvf:
+    def test_ivf_returns_k_and_reasonable_recall(self, spark, corpus):
+        cents = similarity.train_centroids(corpus, 8, iters=2)
+        assert cents.count() == 8
+        brute = similarity.brute_force_topk(_queries(corpus), corpus, k=5)
+        ivf = similarity.ivf_topk(_queries(corpus), corpus, cents, k=5,
+                                  nprobe=4)
+        b = {(r.query_id, r.vec_id) for r in brute.collect()}
+        a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+        assert len(a & b) / len(b) >= 0.5
+        per_q = ivf.groupBy("query_id").count().collect()
+        assert all(r["count"] == 5 for r in per_q)
