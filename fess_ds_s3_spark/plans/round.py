@@ -58,25 +58,30 @@ def prepare_frontier(frontier: DataFrame, cfg: CrawlConfig, *,
                      encode_urls: bool = True) -> DataFrame:
     """Attach url (if absent), canonical_url, host. Narrow, codegen-friendly."""
     df = bucket_filter(frontier, cfg)
+    # Contract: a frontier with a non-void `url` column has it fully
+    # populated (listing stages always emit it). Don't coalesce with the
+    # constructed URL — Python UDFs inside a coalesce are extracted into an
+    # unconditional ArrowEvalPython projection, so the percent-encoding UDF
+    # would run on every row and chain a second JVM→Py boundary in front of
+    # canonicalize (measured ~4× stage slowdown at 2M rows).
     if "url" not in df.columns or dict(df.dtypes).get("url") == "void":
-        df = df.drop("url").withColumn(
+        df = (df.drop("url") if "url" in df.columns else df).withColumn(
             "url", build_object_url("bucket", "key", cfg.region,
                                     cfg.endpoint, encode=encode_urls))
-    else:
-        df = df.withColumn(
-            "url", F.coalesce(
-                F.col("url"),
-                build_object_url("bucket", "key", cfg.region, cfg.endpoint,
-                                 encode=encode_urls)))
-    df = df.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    # canonical_url is a property of the URL: the frontier stores it at
+    # ingestion time (CrawlDriver.seed / link extraction), so per-round
+    # scheduling is pure JVM. Computing it here per round would pay the
+    # Python boundary once per round per DAG branch — and Catalyst's filter
+    # pushdown through the dedup window re-splits the UDF chain into double
+    # evaluation (measured 4× per-row Python cost at 2M rows).
+    if ("canonical_url" not in df.columns
+            or dict(df.dtypes).get("canonical_url") == "void"):
+        df = ((df.drop("canonical_url") if "canonical_url" in df.columns
+               else df)
+              .withColumn("canonical_url", canonicalize_url(F.col("url"))))
     if "host" not in df.columns or dict(df.dtypes).get("host") == "void":
-        df = df.drop("host").withColumn(
+        df = (df.drop("host") if "host" in df.columns else df).withColumn(
             "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
-    else:
-        df = df.withColumn(
-            "host", F.coalesce(F.col("host"),
-                               F.lower(F.parse_url(F.col("url"),
-                                                   F.lit("HOST")))))
     return df
 
 
@@ -99,12 +104,33 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
     """Scheduling half of the round: returns the admitted batch with
     ``host_rank`` (the within-host admission sequence)."""
     df = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
+    # Order matters for plan shape: the dedup window is the pipeline's first
+    # shuffle, placed BEFORE the seen filter (semantics-preserving: the
+    # rank-1 survivor per canonical URL is the same whether duplicates are
+    # removed before or after the unseen check). Every later branch — the
+    # bloom union, the hot-host count, the two politeness windows — then
+    # hangs off this Exchange and ReuseExchange evaluates the expensive
+    # pre-shuffle subtree (scan + canonicalize UDF) exactly once. No
+    # persist: caching wide string rows costs more than the recompute.
+    df = dedup_in_batch(df)
     if seen_exact is not None:
         df = seen_ops.filter_unseen(df, seen_exact, blooms, cfg)
-    df = dedup_in_batch(df)
-    admit = (politeness.admit_per_host_salted if use_salting
-             else politeness.admit_per_host)
-    return admit(df, cfg, host_budgets=host_budgets)
+    if use_salting:
+        # Hot hosts from the RAW frontier, not the filtered pipeline: a
+        # narrow groupBy(host) with full column pruning (no UDF, no dedup
+        # shuffle). Filtering only shrinks per-host counts, so this flags a
+        # superset of the truly-hot hosts — salting a non-hot host is
+        # correctness-neutral. Computing it downstream instead would
+        # re-execute the UDF+dedup subtree (pruning changes the exchange
+        # schema, defeating ReuseExchange).
+        hot = (frontier.groupBy("host").count()
+               .filter(F.col("count") > cfg.salt_threshold).select("host")
+               if "host" in frontier.columns else
+               df.groupBy("host").count()
+               .filter(F.col("count") > cfg.salt_threshold).select("host"))
+        return politeness.admit_per_host_salted(
+            df, cfg, host_budgets=host_budgets, hot_hosts=hot)
+    return politeness.admit_per_host(df, cfg, host_budgets=host_budgets)
 
 
 def process(admitted: DataFrame, cfg: CrawlConfig,

@@ -81,15 +81,21 @@ def reference_buckets(spark: SparkSession) -> DataFrame:
 
 
 def reference_frontier(spark: SparkSession) -> DataFrame:
-    """2 buckets × 2 objects, ascending binary key order per bucket."""
+    """2 buckets × 2 objects, ascending binary key order per bucket.
+
+    No url/host columns: like a real S3 listing, URLs are constructed by
+    the engine (P1) — prepare_frontier builds them (the frontier contract
+    is: a url column, when present, is fully populated)."""
     rows = []
     for b in ("fess-0", "fess-1"):
         for i in (0, 1):
             rows.append((
-                b, f"files/sample-{i}.txt", None, None, 8,
+                b, f"files/sample-{i}.txt", 8,
                 f"etag-{b}-{i}", FIXTURE_EPOCH, "owner-id", "owner-name",
                 "STANDARD", 0, FIXTURE_EPOCH, 0))
-    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    schema = StructType([f for f in FRONTIER_SCHEMA.fields
+                         if f.name not in ("url", "host")])
+    return spark.createDataFrame(rows, schema)
 
 
 def reference_payloads(spark: SparkSession) -> DataFrame:
@@ -156,6 +162,10 @@ def synth_frontier(spark: SparkSession, n_rows: int, *, n_hosts: int = 1000,
         .withColumn("discovery_time",
                     F.timestamp_seconds(F.lit(1577836800) + F.col("id")))
         .withColumn("round", F.lit(round_id))
+        # synthetic URLs are canonical by construction (lowercase host, no
+        # default port/dot-segments/query) — store the canonical column the
+        # way a real ingest stage would (see CrawlDriver.seed)
+        .withColumn("canonical_url", F.col("url"))
         .drop("id", "uid")
     )
 
