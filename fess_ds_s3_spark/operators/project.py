@@ -63,6 +63,11 @@ def build_object_map(df: DataFrame, cfg: CrawlConfig, *,
     # keep it when present, construct otherwise.
     built_url = build_object_url("bucket", "key", cfg.region, cfg.endpoint,
                                  encode=encode_urls)
+    def _opt(name: str, typ: str) -> F.Column:
+        """Column if present, typed null otherwise (listing fields vary)."""
+        return (F.col(name).cast(typ) if name in df.columns
+                else F.lit(None).cast(typ))
+
     cols = dict(
         url=(F.coalesce(F.col("url"), built_url)
              if "url" in df.columns else built_url),
@@ -70,16 +75,14 @@ def build_object_map(df: DataFrame, cfg: CrawlConfig, *,
                                             encode=encode_urls),
         filename=filename_from_key("key"),
         bucket_name=F.col("bucket"),
-        creation_date=(F.col("creation_date")
-                       if "creation_date" in df.columns
-                       else F.lit(None).cast("timestamp")),
+        creation_date=_opt("creation_date", "timestamp"),
         key=F.col("key"),
-        e_tag=F.col("etag") if "etag" in df.columns else F.lit(None),
-        last_modified=F.col("last_modified").cast("timestamp"),
-        owner_id=F.col("owner_id"),
-        owner_display_name=F.col("owner_display_name"),
+        e_tag=_opt("etag", "string"),
+        last_modified=_opt("last_modified", "timestamp"),
+        owner_id=_opt("owner_id", "string"),
+        owner_display_name=_opt("owner_display_name", "string"),
         size=F.col("size").cast("long"),
-        storage_class=F.col("storage_class"),
+        storage_class=_opt("storage_class", "string"),
     )
     for name, typ in _RESPONSE_PASSTHROUGH:
         cols[name] = (F.col(name).cast(typ) if name in df.columns

@@ -95,15 +95,32 @@ def dedup_in_batch(df: DataFrame,
             .filter(F.col("_dup_rank") == 1).drop("_dup_rank"))
 
 
+#: columns the scheduler actually needs — everything else is
+#: late-materialized after admission (narrow scheduling: the politeness and
+#: dedup shuffles are memory-bandwidth-bound, so every byte per row counts)
+SCHEDULE_COLS = ("bucket", "key", "url", "canonical_url", "host", "size",
+                 "priority", "discovery_time")
+
+
 def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
              seen_exact: DataFrame | None = None,
              blooms: DataFrame | None = None,
              host_budgets: DataFrame | None = None,
              use_salting: bool = True,
-             encode_urls: bool = True) -> DataFrame:
+             encode_urls: bool = True,
+             narrow: bool = True) -> DataFrame:
     """Scheduling half of the round: returns the admitted batch with
-    ``host_rank`` (the within-host admission sequence)."""
+    ``host_rank`` (the within-host admission sequence).
+
+    ``narrow=True`` projects to SCHEDULE_COLS before the shuffles; callers
+    that need the full frontier row (run_round) join it back on ``url``
+    AFTER admission shrinks the data (late materialization).
+    """
     df = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
+    if narrow:
+        keep = [c for c in df.columns
+                if c in SCHEDULE_COLS or c == "round"]
+        df = df.select(*keep)
     # Order matters for plan shape: the dedup window is the pipeline's first
     # shuffle, placed BEFORE the seen filter (semantics-preserving: the
     # rank-1 survivor per canonical URL is the same whether duplicates are
@@ -170,7 +187,23 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
     admitted = schedule(
         frontier, cfg, seen_exact=seen_exact, blooms=blooms,
         host_budgets=host_budgets, use_salting=use_salting,
-        encode_urls=encode_urls)
+        encode_urls=encode_urls, narrow=True)
+    # late materialization: join the wide frontier columns back onto the
+    # (budget-bounded, small) admitted batch only. One row per url on the
+    # right, chosen by min (priority, discovery_time, …) — the same winner
+    # the dedup rank picked, so re-discovered URLs join deterministically.
+    wide_cols = [c for c in frontier.columns
+                 if c not in admitted.columns and c not in ("url", "host",
+                                                            "canonical_url")]
+    if wide_cols:
+        prepared = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
+        one_per_url = (prepared
+                       .groupBy("url")
+                       .agg(F.min(F.struct("priority", "discovery_time",
+                                           *wide_cols)).alias("_w"))
+                       .select("url", *[F.col(f"_w.{c}").alias(c)
+                                        for c in wide_cols]))
+        admitted = admitted.join(one_per_url, on="url", how="left")
     processed = process(admitted, cfg, payloads, encode_urls=encode_urls)
     return RoundResult(
         admitted=admitted,

@@ -1,0 +1,75 @@
+"""Snapshot-table storage: append/overwrite/time-travel/atomic commit."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fess_ds_s3_spark.sources.snapshots import Catalog, SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh")).table("t")
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v int")
+
+
+class TestSnapshots:
+    def test_append_accumulates(self, spark, table):
+        s1 = table.append(_df(spark, [1, 2]))
+        s2 = table.append(_df(spark, [3]))
+        assert (s1, s2) == (1, 2)
+        assert sorted(r.v for r in table.read().collect()) == [1, 2, 3]
+
+    def test_time_travel(self, spark, table):
+        table.append(_df(spark, [1]))
+        table.append(_df(spark, [2]))
+        assert sorted(r.v for r in table.read(1).collect()) == [1]
+        assert sorted(r.v for r in table.read(2).collect()) == [1, 2]
+
+    def test_overwrite_resets_lineage(self, spark, table):
+        table.append(_df(spark, [1, 2]))
+        table.overwrite(_df(spark, [9]))
+        assert [r.v for r in table.read().collect()] == [9]
+        # old snapshot still readable (time travel across overwrite)
+        assert sorted(r.v for r in table.read(1).collect()) == [1, 2]
+
+    def test_metadata_recorded(self, spark, table):
+        table.append(_df(spark, [1]), {"round": 7, "kind": "seed"})
+        meta = table.metadata(1)
+        assert meta["round"] == 7 and meta["kind"] == "seed"
+        assert "committed_at" in meta
+
+    def test_missing_snapshot_raises(self, spark, table):
+        table.append(_df(spark, [1]))
+        with pytest.raises(KeyError):
+            table.read(99)
+
+    def test_empty_table_read_or_empty(self, spark, table):
+        df = table.read_or_empty("v int")
+        assert df.count() == 0
+
+    def test_commit_is_atomic_manifest(self, spark, table, tmp_path):
+        """No partial manifest states: manifest is either old or new."""
+        table.append(_df(spark, [1]))
+        manifest_path = table._manifest_path
+        before = json.load(open(manifest_path))
+        table.append(_df(spark, [2]))
+        after = json.load(open(manifest_path))
+        assert after["current"] == before["current"] + 1
+        # no stray tmp files left behind
+        assert not [f for f in os.listdir(table.root)
+                    if f.startswith("manifest.json.tmp")]
+
+    def test_concurrent_tables_isolated(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        a, b = cat.table("a"), cat.table("b")
+        a.append(_df(spark, [1]))
+        b.append(_df(spark, [2]))
+        assert [r.v for r in a.read().collect()] == [1]
+        assert [r.v for r in b.read().collect()] == [2]
