@@ -297,15 +297,27 @@ def q_cosine_topk(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs on a doc subset (integers only)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
 
 
 # --- rows-only entries (non-SQL-expressible; pinned in tests/ instead) ----
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (sketch path; verified vs exact in tests)."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return dedup.dedup_minhash_lsh(d, threshold=0.2, num_hashes=64, bands=16)
+    """MinHash+LSH near-dup pairs (sketch path; verified vs exact in tests).
+
+    The testdata corpus has no high-Jaccard pairs (banding provably can't
+    recall sub-0.1-Jaccard pairs), so the query plants deterministic
+    near-duplicates: each doc in the subset gets a clone (doc_id+10^6) with
+    one appended token; LSH must recover exactly those pairs.
+    """
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0) \
+        .select("doc_id", "text")
+    clones = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" nearduplicate"))
+                      .alias("text"))
+    corpus = d.unionByName(clones)
+    return dedup.dedup_minhash_lsh(corpus, threshold=0.7, num_hashes=128,
+                                   bands=32, shingle_n=3)
 
 
 def q_simhash(spark, sf_dir):
@@ -611,7 +623,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
-            WHERE i.inter * 1.0 >= (sa.n_sh + sb.n_sh - i.inter) * 0.2""",
+            WHERE i.inter * 1.0 >= (sa.n_sh + sb.n_sh - i.inter) * 0.02""",
         # minhash_lsh / simhash / ann_lsh / approx_distinct / decode_media /
         # spans_roundtrip: non-SQL-expressible (sketch/UDF internals) —
         # rows-only checks; exactness pinned in tests/ against in-engine
