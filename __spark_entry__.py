@@ -356,6 +356,48 @@ def q_decode_media(spark, sf_dir):
                     "decode_error"))
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint (oracle: DuckDB list_reduce)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    T.fingerprint_rolling("text").alias("fp"))
+
+
+def q_robots_filter(spark, sf_dir):
+    """F6: robots rules table + RFC 9309 longest-match filter routing.
+
+    Deterministic robots bodies per bucket-host: even-numbered src hosts
+    disallow /docs/zh/; rows-only (longest-match semantics pinned in
+    tests/test_robots.py against stdlib robotparser where comparable).
+    """
+    from fess_ds_s3_spark.operators import robots as robots_ops
+    cfg = CrawlConfig(region=REGION)
+    f = flt.with_status_columns(_frontier(spark, sf_dir))
+    hosts = f.select("host").distinct()
+    bodies = hosts.select(
+        "host",
+        F.when(F.regexp_extract("host", r"^src([0-9]+)", 1).cast("int")
+               % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /docs/zh/\nCrawl-delay: 1\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n")).alias("body"))
+    rules = robots_ops.robots_rules_table(bodies)
+    out = robots_ops.apply_robots_filter(f, rules, cfg)
+    return (out.groupBy("status", "discard_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status", "discard_reason"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only; recall pinned in tests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    cents = similarity.train_centroids(emb, 8, iters=1)
+    return (similarity.ivf_topk(queries, emb, cents, k=5, nprobe=3)
+            .select("query_id", "vec_id", "rank"))
+
+
 def q_spans_roundtrip(spark, sf_dir):
     """input_hint spans: synth interleaved docs → text+links extraction with
     span order preserved (order invariant pinned in tests)."""
@@ -409,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "decode_media": q_decode_media,
         "spans_roundtrip": q_spans_roundtrip,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "robots_filter": q_robots_filter,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -624,8 +669,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE i.inter * 1.0 >= (sa.n_sh + sb.n_sh - i.inter) * 0.02""",
-        # minhash_lsh / simhash / ann_lsh / approx_distinct / decode_media /
-        # spans_roundtrip: non-SQL-expressible (sketch/UDF internals) —
-        # rows-only checks; exactness pinned in tests/ against in-engine
-        # exact baselines.
+        "rolling_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, c) -> (acc * 257 + c) % 2147483647) AS fp
+            FROM documents""",
+        # minhash_lsh / simhash / ann_lsh / ivf_topk / approx_distinct /
+        # decode_media / spans_roundtrip / robots_filter: non-SQL-expressible
+        # (sketch/UDF internals, RFC 9309 longest-match) — rows-only checks;
+        # exactness pinned in tests/ against in-engine exact baselines.
     }

@@ -50,7 +50,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
