@@ -1,0 +1,70 @@
+"""Invariance suites (SURVEY.md §5.2.3): results invariant under round
+size, partition count, and salt count — generalizing the reference's
+pagination-invariance test (AmazonS3ClientTest.java:187-201: maxKeys=1 ≡
+maxKeys=1000)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.plans import round as round_plan
+from fess_ds_s3_spark.plans.crawl import CrawlDriver
+from fess_ds_s3_spark.sources import synthetic
+
+
+class TestRoundSizeInvariance:
+    @pytest.mark.parametrize("budget", [5, 23, 1000])
+    def test_total_admissions_invariant_under_budget(self, spark, tmp_path,
+                                                     budget):
+        """Like pagination invariance: any per-round budget must converge to
+        the same total seen set + stored set, only over more/fewer rounds."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=budget,
+                          max_size=25_000_000,  # > all synth sizes
+                          bloom_expected=10_000, seen_partitions=8)
+        frontier = synthetic.synth_frontier(spark, 120, n_hosts=5,
+                                            n_buckets=3, seed=31)
+        driver = CrawlDriver(spark, str(tmp_path / f"wh{budget}"), cfg)
+        driver.seed(frontier)
+        driver.run(n_rounds=30)
+        seen = {r.canonical_url for r in driver.committed_seen().collect()}
+        stored = {r.url for r in
+                  driver.read_committed("indexed").collect()}
+        distinct = {r.url for r in frontier.select("url").distinct()
+                    .collect()}
+        assert seen == {r.canonical_url for r in
+                        round_plan.prepare_frontier(frontier, cfg)
+                        .select("canonical_url").distinct().collect()}
+        assert stored == distinct
+
+    def test_salt_count_invariance(self, spark):
+        """Admitted set identical for any salt bucket count."""
+        frontier = synthetic.synth_frontier(spark, 300, n_hosts=6,
+                                            n_buckets=3, seed=37)
+        results = []
+        for k in (1, 4, 16):
+            cfg = CrawlConfig(region="us-east-1", default_host_budget=5,
+                              salt_threshold=10, salt_buckets=k)
+            out = round_plan.schedule(frontier, cfg)
+            results.append(sorted((r.host, r.host_rank, r.url)
+                                  for r in out.collect()))
+        assert results[0] == results[1] == results[2]
+
+    def test_seen_partition_count_invariance(self, spark):
+        """Unseen-filter output identical for any bloom partition count."""
+        from fess_ds_s3_spark.operators import seen as seen_ops
+        frontier = synthetic.synth_frontier(spark, 300, n_hosts=6,
+                                            n_buckets=3, seed=41)
+        seen = (synthetic.synth_frontier(spark, 100, n_hosts=6, n_buckets=3,
+                                         seed=41)
+                .select(F.col("url").alias("canonical_url")))
+        results = []
+        for parts in (4, 16, 64):
+            cfg = CrawlConfig(region="us-east-1", bloom_expected=5_000,
+                              seen_partitions=parts)
+            prepared = round_plan.prepare_frontier(frontier, cfg)
+            blooms = seen_ops.build_bloom(seen, cfg)
+            out = seen_ops.filter_unseen(prepared, seen, blooms, cfg)
+            results.append(sorted(r.url for r in out.collect()))
+        assert results[0] == results[1] == results[2]
