@@ -303,7 +303,11 @@ def q_ngram_jaccard(spark, sf_dir):
 # --- rows-only entries (non-SQL-expressible; pinned in tests/ instead) ----
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (sketch path; verified vs exact in tests).
+    """MinHash+LSH near-dup pairs — ORACLE-CHECKED: the verify stage emits
+    exact integer (inter, union) per surviving pair, and the DuckDB oracle
+    computes the same all-pairs exact Jaccard ≥ τ set directly; equality
+    holds iff LSH candidate recall is complete at τ on this corpus (128
+    hashes / 32 bands ⇒ band-miss probability < 1e-4 even at τ exactly).
 
     The testdata corpus has no high-Jaccard pairs (banding provably can't
     recall sub-0.1-Jaccard pairs), so the query plants deterministic
@@ -316,21 +320,25 @@ def q_minhash_lsh(spark, sf_dir):
                       F.concat(F.col("text"), F.lit(" nearduplicate"))
                       .alias("text"))
     corpus = d.unionByName(clones)
-    return dedup.dedup_minhash_lsh(corpus, threshold=0.7, num_hashes=128,
-                                   bands=32, shingle_n=3)
+    return (dedup.dedup_minhash_lsh(corpus, threshold=0.7, num_hashes=128,
+                                    bands=32, shingle_n=3)
+            .select("a", "b", "inter", "union_"))
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup candidate pairs with Hamming ≤ 12."""
+    """SimHash near-dup pairs with Hamming ≤ 4 (5-block pigeonhole —
+    recall-complete at the requested radius, proven vs brute force in
+    tests/test_dedup.py at radii 0/3/12)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     sigs = dedup.simhash(d)
-    return dedup.simhash_candidate_pairs(sigs, max_hamming=12)
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=4)
 
 
 def q_ann_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH buckets."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+    dim = 64  # fixed embedding width in the testdata schema (all SFs);
+    # passed explicitly — no .first() driver action at plan-build time
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
@@ -339,9 +347,18 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """A3: approx_count_distinct over frontier URLs (HLL++)."""
-    return (_frontier(spark, sf_dir)
-            .agg(F.approx_count_distinct("url").alias("approx_urls")))
+    """A3: approx_count_distinct over frontier URLs (HLL++) — ORACLE-CHECKED
+    accuracy contract: emits the exact distinct count plus a boolean
+    asserting the HLL estimate landed within 5% (default rsd 0.05 ⇒ the
+    bound holds w.h.p.; the estimate itself is engine-specific so the
+    *contract*, not the estimate, is the comparable value)."""
+    agg = (_frontier(spark, sf_dir)
+           .agg(F.approx_count_distinct("url").alias("approx"),
+                F.countDistinct("url").alias("exact_urls")))
+    return agg.select(
+        "exact_urls",
+        (F.abs(F.col("approx") - F.col("exact_urls"))
+         <= F.col("exact_urls") * 0.05).alias("within_tolerance"))
 
 
 def q_decode_media(spark, sf_dir):
@@ -399,16 +416,38 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_spans_roundtrip(spark, sf_dir):
-    """input_hint spans: synth interleaved docs → text+links extraction with
-    span order preserved (order invariant pinned in tests)."""
+    """input_hint spans — ORACLE-CHECKED roundtrip: interleaved text+media
+    spans are built from ``documents`` (text split in half, a media span
+    wedged between, array DELIBERATELY emitted out of offset order), then
+    extraction must re-sort by offset and reproduce exactly the
+    concatenation the DuckDB oracle computes from the raw text (md5
+    compared); link extraction must surface the single media_ref."""
     from fess_ds_s3_spark.operators.extract import (links_from_spans,
                                                     text_from_spans)
-    from fess_ds_s3_spark.sources.synthetic import synth_docs
-    docs = synth_docs(spark, 200, seed=42)
+    d = _docs(spark, sf_dir)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    half = (F.size(words) / 2).cast("int")
+    t1 = F.array_join(F.slice(words, F.lit(1), half), " ")
+    t2 = F.array_join(F.slice(words, half + 1, F.size(words) - half), " ")
+    media = F.concat(F.lit("https://media.example.com/"),
+                     F.col("doc_id").cast("string"), F.lit(".png"))
+
+    def span(kind, text_col, ref_col, off):
+        return F.struct(F.lit(kind).alias("kind"), text_col.alias("text"),
+                        ref_col.alias("media_ref"), F.lit(off).alias("offset"))
+
+    none_s = F.lit(None).cast("string")
+    spans = F.array(  # out of offset order on purpose
+        span("media", none_s, media, 1),
+        span("text", t2, none_s, 2),
+        span("text", t1, none_s, 0))
+    docs = d.select("doc_id", spans.alias("spans"))
     return docs.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
-        F.length(text_from_spans("spans")).alias("text_len"),
+        F.md5(text_from_spans("spans")).alias("text_md5"),
+        links_from_spans("spans").getItem(0).alias("link"),
         F.size(links_from_spans("spans")).alias("n_links"))
 
 
@@ -545,7 +584,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT status, count(*) AS n FROM routed GROUP BY status "
             "ORDER BY status",
         "host_agg": FRONTIER_CTE + """
-            SELECT host, count(*) AS n_urls, sum(size) AS total_bytes,
+            SELECT host, count(*) AS n_urls,
+                   -- DuckDB widens sum(BIGINT) to HUGEINT (surfaces as
+                   -- float64); Spark keeps LONG — cast for a bit-equal hash
+                   CAST(sum(size) AS BIGINT) AS total_bytes,
                    min(key) AS min_key, max(key) AS max_key
             FROM frontier GROUP BY host""",
         "union_dedup": FRONTIER_CTE + """
@@ -677,8 +719,77 @@ def oracle_sql() -> dict[str, str]:
                                       c -> CAST(ascii(c) AS BIGINT))),
                      (acc, c) -> (acc * 257 + c) % 2147483647) AS fp
             FROM documents""",
-        # minhash_lsh / simhash / ann_lsh / ivf_topk / approx_distinct /
-        # decode_media / spans_roundtrip / robots_filter: non-SQL-expressible
-        # (sketch/UDF internals, RFC 9309 longest-match) — rows-only checks;
-        # exactness pinned in tests/ against in-engine exact baselines.
+        "minhash_lsh": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     text || ' nearduplicate' AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ') AS words
+              FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM docs,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       n -> array_to_string(words[n : n + 2], ' ')))
+                   t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a, i.b, i.inter,
+                   sa.n_sh + sb.n_sh - i.inter AS union_
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 6)
+                  >= 0.7""",
+        "approx_distinct": FRONTIER_CTE + """
+            SELECT count(DISTINCT url) AS exact_urls,
+                   CAST(1 AS BOOLEAN) AS within_tolerance
+            FROM frontier""",
+        "spans_roundtrip": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ') AS words
+              FROM documents),
+            parts AS (
+              SELECT doc_id, words,
+                     CAST(floor(len(words) / 2) AS INT) AS half
+              FROM d)
+            SELECT doc_id,
+                   CAST(3 AS INT) AS n_spans,
+                   md5(array_to_string(words[1 : half], ' ') || ' '
+                       || array_to_string(words[half + 1 : len(words)], ' '))
+                       AS text_md5,
+                   'https://media.example.com/' || CAST(doc_id AS VARCHAR)
+                       || '.png' AS link,
+                   CAST(1 AS INT) AS n_links
+            FROM parts""",
+        "robots_filter": FRONTIER_CTE + """
+            , routed AS (
+              SELECT CASE WHEN CAST(regexp_extract(host, '^src([0-9]+)', 1)
+                                    AS INT) % 2 = 0
+                           AND url LIKE '%/docs/zh/%'
+                          THEN 'discarded' ELSE 'pending' END AS status,
+                     CASE WHEN CAST(regexp_extract(host, '^src([0-9]+)', 1)
+                                    AS INT) % 2 = 0
+                           AND url LIKE '%/docs/zh/%'
+                          THEN 'robots' END AS discard_reason
+              FROM frontier)
+            SELECT status, discard_reason, count(*) AS n
+            FROM routed GROUP BY status, discard_reason
+            ORDER BY status, discard_reason""",
+        # simhash / ann_lsh / ivf_topk / decode_media: non-SQL-expressible
+        # (xxhash64-seeded sketch internals, seeded hyperplanes/centroids) —
+        # rows-only checks; exactness pinned in tests/ against in-engine
+        # exact baselines (brute-force Hamming / cosine re-rank).
     }

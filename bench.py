@@ -29,9 +29,15 @@ BASELINE.md):
 - a pure-numpy CPU control at the same process counts is reported so the
   machine's own scaling ceiling is visible next to the engine's number.
 
+Headline timings exclude one untimed warmup pass (session + JIT + Arrow +
+Python-worker pool spin-up at sf0.001) — the same best-of-warm methodology
+as the scaling reps, so per-query numbers measure the engine, not JVM
+startup.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_ROWS (default 8_000_000), SPARK_GRAFT_SCALE_N (default 2),
-SPARK_GRAFT_REPS (default 2), SPARK_GRAFT_SKIP_SCALING=1.
+SPARK_GRAFT_BENCH_ROWS (default 32_000_000 — the BASELINE.md scale),
+SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_REPS (default 2),
+SPARK_GRAFT_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
@@ -48,9 +54,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "32000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
 BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
@@ -170,6 +176,14 @@ def _run_headline() -> tuple[dict, float]:
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    # one untimed warmup pass at the smallest SF: JVM JIT, Arrow batch
+    # machinery, the Python-worker pool, and parquet footers all spin up
+    # here instead of inside the first timed query
+    t0 = time.time()
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    print(f"# warmup (sf0.001, untimed): {time.time() - t0:.2f}s",
+          file=sys.stderr)
     timings = {}
     total = 0.0
     for name in HEADLINE:
@@ -221,6 +235,13 @@ def main():
                      for k, v in times.items()},
             "cpu_control_efficiency": _cpu_control(n, n4),
         }
+        # engine scaling normalized by the machine's own ceiling (the pure-
+        # numpy control measures the box's memory-bandwidth limit at the
+        # same process counts — a single-host hard bound no job can beat)
+        ctl = result["scaling"]["cpu_control_efficiency"]
+        if ctl:
+            result["scaling"]["normalized_efficiency"] = round(
+                result["scaling"]["efficiency"] / ctl, 3)
 
     print(json.dumps(result))
 

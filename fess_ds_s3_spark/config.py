@@ -64,6 +64,11 @@ class CrawlConfig:
 
     region: str
     endpoint: str | None = None
+    # client/session params (S8, AmazonS3Client.java:87-98,166-172):
+    access_key_id: str | None = None
+    secret_key: str | None = None
+    proxy_host: str | None = None
+    proxy_port: str | None = None
     buckets: tuple[str, ...] = ()  # empty → all buckets
     max_keys: int = DEFAULT_MAX_KEYS
     max_size: int = DEFAULT_MAX_SIZE
@@ -91,6 +96,24 @@ class CrawlConfig:
             raise ConfigError("max_keys must be positive")
         if self.max_size < 0:
             raise ConfigError("max_size must be non-negative")
+        # Credentials are required-together (AwsBasicCredentialsProvider,
+        # AmazonS3Client.java:166-172: either one empty → DataStoreException;
+        # the full both-required check runs at client open, see
+        # session.validate_client_params — a config with neither is valid
+        # for engine-only use where no store client is opened).
+        if bool(self.access_key_id) != bool(self.secret_key):
+            raise ConfigError(
+                "Parameter 'access_key_id', 'secret_key' is required")
+        # Proxy validation (AmazonS3Client.java:87-98): a host without a
+        # port fails fast, as does a non-numeric port.
+        if self.proxy_host:
+            if not self.proxy_port:
+                raise ConfigError("proxy_port required.")
+            try:
+                int(str(self.proxy_port))
+            except ValueError as exc:
+                raise ConfigError(
+                    "parameter 'proxy_port' invalid.") from exc
         if not (0.0 < self.bloom_fpp < 1.0):
             raise ConfigError("bloom_fpp must be in (0, 1)")
         if self.seen_partitions <= 0:
@@ -127,6 +150,11 @@ class CrawlConfig:
         return cls(
             region=region,
             endpoint=str(endpoint) if endpoint else None,
+            access_key_id=params.get("access_key_id") or None,
+            secret_key=params.get("secret_key") or None,
+            proxy_host=params.get("proxy_host") or None,
+            proxy_port=(str(params["proxy_port"])
+                        if params.get("proxy_port") is not None else None),
             buckets=tuple(_split_csv(params.get("buckets"))),
             max_keys=_parse_int(params.get("max_keys"), DEFAULT_MAX_KEYS),
             max_size=_parse_int(params.get("max_size"), DEFAULT_MAX_SIZE),

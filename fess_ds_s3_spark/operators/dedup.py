@@ -10,8 +10,8 @@ Four tiers, cheapest-first — a 100 TB dedup pipeline runs them as a funnel:
    is built-in explode/groupBy/join except the signature, a vectorized
    pandas UDF over Arrow batches.
 3. **SimHash** — 64-bit Charikar fingerprint + Hamming-ball blocking (split
-   into 4 × 16-bit chunks; exact-match on any chunk → candidate for
-   Hamming ≤ 3 radius).
+   into ``radius + 1`` pigeonhole blocks; exact-match on any block →
+   candidate — complete at any requested radius ≤ 63).
 4. **Embedding cosine** — near-dup by vector similarity (operators/
    similarity.py provides the ANN machinery).
 
@@ -31,7 +31,10 @@ from pyspark.sql.types import ArrayType, LongType
 
 from fess_ds_s3_spark.functions.text import fingerprint_md5
 
-_MERSENNE = (1 << 61) - 1
+#: Mersenne prime 2^31 - 1: with a,b < 2^31 and x folded to 31 bits,
+#: a*x + b < 2^62 stays inside native int64 — the whole signature batch is
+#: one contiguous numpy int64 op, never object-dtype Python bigints.
+_MERSENNE31 = (1 << 31) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -88,8 +91,8 @@ def explode_shingle_hashes(df: DataFrame, text: str = "text",
 
 def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
     return a, b
 
 
@@ -99,22 +102,28 @@ def minhash_signatures(df: DataFrame, text: str = "text",
     """(id, signature:array<long>) — vectorized universal-hash minhash.
 
     The per-doc shingle set is hashed JVM-side (xxhash64); the k permutations
-    ``(a*x + b) mod p`` run as one numpy matrix op per Arrow batch.
+    ``(a*x + b) mod p`` run as one native-int64 numpy matrix op per doc —
+    p = 2^31-1 with 31-bit-folded shingle hashes keeps every intermediate
+    below 2^62 (no object-dtype fallback; this is the 100 TB dedup hot path).
     """
     a, b = _minhash_params(num_hashes, seed)
+    a_col = a[:, None]  # (k, 1) — broadcast against the doc's shingle row
+    b_col = b[:, None]
 
     @pandas_udf(ArrayType(LongType()))
     def _sign(hash_arrays: pd.Series) -> pd.Series:
         out = []
+        empty = [int(_MERSENNE31)] * len(a)
         for hashes in hash_arrays:
             if hashes is None or len(hashes) == 0:
-                out.append([int(_MERSENNE)] * len(a))
+                out.append(empty)
                 continue
-            x = np.asarray(hashes, dtype=np.int64) % _MERSENNE
-            # (k, n) = a[:,None]*x[None,:] + b → min over shingles
-            sig = ((a[:, None].astype(object) * x[None, :] + b[:, None])
-                   % _MERSENNE).min(axis=1)
-            out.append([int(v) for v in sig])
+            # fold the signed-64-bit xxhash to 31 bits via uint64 mod-prime
+            xu = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            x31 = (xu % np.uint64(_MERSENNE31)).astype(np.int64)
+            # (k, n) int64 matrix: a*x < 2^62, + b safe; min over shingles
+            sig = ((a_col * x31[None, :] + b_col) % _MERSENNE31).min(axis=1)
+            out.append(sig.tolist())
         return pd.Series(out)
 
     sh = (df.select(F.col(id_col),
@@ -196,17 +205,35 @@ def dedup_minhash_lsh(df: DataFrame, text: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                         id_col: str = "doc_id", *, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """All-pairs exact word-n-gram Jaccard ≥ τ via shingle inverted index.
 
     Quadratic in the worst case — use for modest corpora or as the verify
     stage; the LSH variant is the scale path. Integer outputs (inter/union)
     keep it oracle-checkable bit-for-bit.
+
+    ``max_doc_freq``: hot-shingle cap for skewed corpora — a boilerplate
+    shingle shared by d documents contributes d² rows to the pair join (the
+    LSH path caps buckets via ``max_bucket``; this is the equivalent guard).
+    Shingles with document frequency > τ_df are dropped from the
+    INTERSECTION counts only; per-doc sizes (union denominators) still count
+    them, so reported Jaccard is a lower bound — a df≫1 shingle carries ~0
+    discriminating signal anyway. Default None = exact semantics (the
+    oracle-checked configuration). Not silent: the cap is an explicit
+    parameter, and callers can measure what it drops via
+    ``hot_shingle_count(df, ...)``.
     """
     sh = explode_shingle_hashes(df, text, id_col, n=n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle_hash")
-    b = sh.select(F.col(id_col).alias("b"), "shingle_hash")
+    joinable = sh
+    if max_doc_freq is not None:
+        dfreq = (sh.groupBy("shingle_hash")
+                 .agg(F.count(F.lit(1)).alias("_df")))
+        joinable = (sh.join(dfreq.filter(F.col("_df") <= max_doc_freq)
+                            .select("shingle_hash"), "shingle_hash"))
+    a = joinable.select(F.col(id_col).alias("a"), "shingle_hash")
+    b = joinable.select(F.col(id_col).alias("b"), "shingle_hash")
     inter = (a.join(b, "shingle_hash").filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
     return (inter
@@ -220,6 +247,17 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
             .select("a", "b", "inter", "union_"))
 
 
+def hot_shingle_count(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", *, n: int = 3,
+                      max_doc_freq: int = 100) -> int:
+    """How many distinct shingles exceed ``max_doc_freq`` — the 'no silent
+    caps' companion to ``ngram_jaccard_pairs(max_doc_freq=...)``; log this
+    next to the capped run."""
+    sh = explode_shingle_hashes(df, text, id_col, n=n).distinct()
+    return (sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq).count())
+
+
 # ---------------------------------------------------------------------------
 # 3. SimHash
 # ---------------------------------------------------------------------------
@@ -227,7 +265,8 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
 def simhash(df: DataFrame, text: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit Charikar simhash per document (vectorized pandas UDF: token
-    hash bit-votes), plus 4 × 16-bit block keys for Hamming-ball blocking."""
+    hash bit-votes). Blocking keys are derived by
+    :func:`simhash_candidate_pairs` from the requested radius."""
 
     @pandas_udf(LongType())
     def _simhash(token_hashes: pd.Series) -> pd.Series:
@@ -250,30 +289,60 @@ def simhash(df: DataFrame, text: str = "text",
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text))),
                                  r"\s+", " "), " "),
         lambda w: F.xxhash64(w))
-    sig = df.select(F.col(id_col), _simhash(tokens).alias("simhash"))
-    for blk in range(4):
-        sig = sig.withColumn(
-            f"block{blk}",
-            F.shiftrightunsigned("simhash", blk * 16).bitwiseAND(F.lit(0xFFFF)))
-    return sig
+    return df.select(F.col(id_col), _simhash(tokens).alias("simhash"))
+
+
+def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per pigeonhole block: 64 bits split into
+    ``max_hamming + 1`` contiguous blocks. If two signatures differ in at
+    most ``max_hamming`` bits, at least one block is bit-identical."""
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base, extra = divmod(64, n_blocks)
+    blocks, shift = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append((shift, width))
+        shift += width
+    return blocks
 
 
 def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", *,
-                            max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` using 4-block
-    pigeonhole blocking (any pair within Hamming ≤ 3 of 64 bits shares at
-    least one exact 16-bit block)."""
-    pairs = None
-    for blk in range(4):
-        l = sigs.select(F.col(id_col).alias("a"),
-                        F.col("simhash").alias("sig_a"), F.col(f"block{blk}"))
-        r = sigs.select(F.col(id_col).alias("b"),
-                        F.col("simhash").alias("sig_b"), F.col(f"block{blk}"))
-        p = (l.join(r, f"block{blk}").filter(F.col("a") < F.col("b"))
-             .select("a", "b", "sig_a", "sig_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+                            max_hamming: int = 3,
+                            max_block: int | None = None) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking sized to the radius: the 64-bit signature is split
+    into ``max_hamming + 1`` blocks, so any qualifying pair shares at least
+    one exact block — candidate recall is complete at the requested radius
+    (completeness vs brute force is pinned in tests/test_dedup.py at radii
+    0, 3, and 12). One shuffle keyed on ``(block_id, block_value)`` — the
+    same LSH-band shape as :func:`lsh_candidate_pairs` — never N separate
+    self-joins. ``max_block`` optionally caps degenerate blocks (boilerplate
+    corpora) at the cost of recall, mirroring LSH's ``max_bucket``.
+    """
+    blocks = _simhash_blocks(max_hamming)
+    keys = F.array(*[
+        F.shiftrightunsigned("simhash", shift)
+        # width 64 (radius 0) → all-ones mask, as int64 (-1)
+        .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
+        for shift, width in blocks])
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(keys).alias("block_id", "block_val"))
+    if max_block is not None:
+        w = Window.partitionBy("block_id", "block_val").orderBy(id_col)
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_block).drop("_rn"))
+    left = banded.select("block_id", "block_val", F.col(id_col).alias("a"),
+                         F.col("simhash").alias("sig_a"))
+    right = banded.select("block_id", "block_val", F.col(id_col).alias("b"),
+                          F.col("simhash").alias("sig_b"))
+    pairs = (left.join(right, ["block_id", "block_val"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b").distinct())
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.distinct()
-            .withColumn("hamming", hamming)
+    return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))

@@ -117,18 +117,25 @@ def fetch_payloads(admitted: DataFrame, payloads: DataFrame) -> DataFrame:
     return admitted.join(right, on=["bucket", "key"], how="left")
 
 
-def route_fetch_and_extract(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Apply fetch-miss (E2), extraction (E3) routing after
-    :func:`fetch_payloads`. Pending rows that survive become 'stored'."""
+def route_fetch_miss(df: DataFrame) -> DataFrame:
+    """E2 fetch-miss routing after :func:`fetch_payloads`: a pending row
+    with no payload → failed(NoSuchKeyException). Runs BEFORE the MIME and
+    size checks, matching the reference's getObject-throws-first order
+    (AmazonS3DataStore.java:212,279-284)."""
     pending = F.col("status") == STATUS_PENDING
     miss = pending & F.col("_fetched").isNull()
-    df = (
+    return (
         df.withColumn("error_name",
                       F.when(miss, F.lit(ERROR_NO_SUCH_KEY))
                       .otherwise(F.col("error_name")))
         .withColumn("status", F.when(miss, F.lit(STATUS_FAILED))
                     .otherwise(F.col("status")))
     )
+
+
+def route_extract(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """E3 extraction routing; pending rows that survive become 'stored'.
+    Runs last in the fetched-row chain (after MIME and size routing)."""
     pending = F.col("status") == STATUS_PENDING
     ext = extract_text(F.col("content"))
     df = df.withColumn("_ext", F.when(pending, ext))

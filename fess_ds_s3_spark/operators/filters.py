@@ -9,11 +9,13 @@ Reference semantics being preserved (SURVEY.md §2.3, §2.13):
 - F2 MIME allowlist (AmazonS3DataStore.java:215-221): keep iff the *response*
   content type full-matches ≥1 configured regex; miss is an E1 discard.
   Runs after fetch in the reference because it needs the GET response.
-- F3 max-size guard (AmazonS3DataStore.java:223-226): size comes from the
-  *listing*, so we evaluate it pre-fetch (the reference evaluates it
-  post-fetch — a missed pushdown, see SURVEY.md §4.1; observationally
-  equivalent). Exceeding rows are E2 **failures** (error row, not silently
-  dropped), error name 'MaxLengthExceededException'.
+- F3 max-size guard (AmazonS3DataStore.java:223-226): exceeding rows are E2
+  **failures** (error row, not silently dropped), error name
+  'MaxLengthExceededException'. The reference checks contentType BEFORE the
+  size guard, so in fetched mode the round applies F2 first (a row that is
+  both MIME-unsupported and oversize is a discard, not a failure —
+  plans/round.py:process); in listing-only mode the guard runs pre-fetch on
+  the listing size.
 - F4 bucket membership (AmazonS3Client.java:124-127): literal-set isin.
 
 Full-match anchoring: the reference uses Java ``matches()``; Spark ``rlike``

@@ -9,6 +9,7 @@ engine treats robots as data, not side-effectful fetches:
    and will disagree where an Allow overrides a shorter Disallow). Used
    inside a pandas UDF and by the oracle; produces rule rows ``(host,
    agent, rule_kind, path_prefix, crawl_delay)`` — the FIXTURES.md §6 shape.
+   Rule patterns are stored RAW (wildcards intact); matching decodes.
 2. **robots_rules_table** — vectorized parse of fetched robots bodies
    (one row per host) into the rules dim table.
 3. **apply_robots_filter** — broadcast-join the (small) rules table onto the
@@ -16,14 +17,21 @@ engine treats robots as data, not side-effectful fetches:
    Disallowed rows are E1 discards (reason ``robots``), mirroring the
    urlFilter-miss semantics (AmazonS3DataStore.java:203-210).
 
-Matching semantics implemented (RFC 9309 / robotparser): most-specific
-(longest) matching rule wins; tie → Allow; no matching rule → allowed;
-rules for the configured agent override ``*`` rules entirely when an
-agent-specific group exists.
+Matching semantics implemented (RFC 9309): ``*`` matches any character
+sequence and a terminal ``$`` anchors the end of the path; the
+most-specific (longest-pattern) matching rule wins; tie → Allow; no
+matching rule → allowed; rules for the configured agent override ``*``
+rules entirely when an agent-specific group exists. Rule pattern and
+probed path are compared in the SAME encoding: both are percent-decoded
+before matching (RFC 9309 §2.2.2 normalization; caveat: an encoded ``%2F``
+inside a rule is not distinguished from a literal ``/`` — acceptable for
+object-store key paths, documented here rather than silently divergent).
 """
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
 from urllib.parse import unquote, urlsplit
 
 import pandas as pd
@@ -83,10 +91,9 @@ def parse_robots_txt(body: str) -> list[dict]:
                 continue
             # empty Disallow means "allow all" — record as allow ""
             kind = "allow" if (field == "allow" or value == "") else "disallow"
-            prefix = unquote(value) if value else ""
             for agent in agents:
                 rules.append({"agent": agent, "rule_kind": kind,
-                              "path_prefix": prefix, "crawl_delay": None})
+                              "path_prefix": value, "crawl_delay": None})
         elif field == "crawl-delay":
             try:
                 delay = float(value)
@@ -98,8 +105,29 @@ def parse_robots_txt(body: str) -> list[dict]:
     return rules
 
 
+@lru_cache(maxsize=8192)
+def _compiled_rule(pattern: str) -> "re.Pattern[str]":
+    """RFC 9309 rule pattern → anchored-prefix regex: ``*`` matches any
+    character sequence, a terminal ``$`` anchors the path end; everything
+    else is literal. Pattern and path are both percent-decoded before
+    comparison (same-encoding rule)."""
+    pat = unquote(pattern or "")
+    anchored = pat.endswith("$")
+    if anchored:
+        pat = pat[:-1]
+    body = ".*".join(re.escape(part) for part in pat.split("*"))
+    return re.compile("^" + body + ("$" if anchored else ""))
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    """Does one RFC 9309 rule pattern match a (raw, possibly
+    percent-encoded) URL path?"""
+    return _compiled_rule(pattern).match(unquote(path or "/")) is not None
+
+
 def robots_allowed(rules: list[dict], agent: str, path: str) -> bool:
-    """RFC 9309 longest-match decision for one path."""
+    """RFC 9309 longest-match decision for one path. Specificity = pattern
+    length in octets (wildcards count as written), ties → Allow."""
     agent = agent.lower()
     specific = [r for r in rules if r["agent"] == agent
                 and r["rule_kind"] in ("allow", "disallow")]
@@ -108,7 +136,7 @@ def robots_allowed(rules: list[dict], agent: str, path: str) -> bool:
     best_len, allowed = -1, True
     for r in pool:
         prefix = r["path_prefix"] or ""
-        if path.startswith(prefix):
+        if rule_matches(prefix, path):
             plen = len(prefix)
             if plen > best_len or (plen == best_len
                                    and r["rule_kind"] == "allow"):

@@ -169,9 +169,20 @@ def bloom_maybe_seen_broadcast(frontier: DataFrame, blobs: list,
     memory (a 10^8-URL seen-set at 1% fpp is ~120 MB — broadcastable).
     """
     spark = frontier.sparkSession
-    blob_map = {int(r["part_id"]): (np.frombuffer(r["bits"], dtype=np.uint8),
-                                    int(r["m_bits"]), int(r["k_hashes"]))
-                for r in blobs}
+    # OR-merge duplicate part_id rows (appended deltas / unioned tables):
+    # dropping any blob row would silently lose filter state and admit
+    # duplicates — a malformed table must still probe correctly.
+    blob_map: dict[int, tuple] = {}
+    for r in blobs:
+        pid = int(r["part_id"])
+        bits = np.frombuffer(r["bits"], dtype=np.uint8)
+        if pid in blob_map:
+            prev = blob_map[pid]
+            if len(prev[0]) != len(bits):
+                raise ValueError(
+                    f"bloom part {pid}: blob rows disagree on m_bits")
+            bits = prev[0] | bits
+        blob_map[pid] = (bits, int(r["m_bits"]), int(r["k_hashes"]))
     bc = spark.sparkContext.broadcast(blob_map)
 
     @pandas_udf(BooleanType())
@@ -220,7 +231,13 @@ def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
             out = rows[carry].copy()
             out[flag] = False
             return out
+        # OR-merge every blob row for this partition (see broadcast path)
         bits = np.frombuffer(blobs["bits"].iloc[0], dtype=np.uint8)
+        for extra in blobs["bits"].iloc[1:]:
+            more = np.frombuffer(extra, dtype=np.uint8)
+            if len(more) != len(bits):
+                raise ValueError("bloom blob rows disagree on m_bits")
+            bits = bits | more
         m = int(blobs["m_bits"].iloc[0])
         k = int(blobs["k_hashes"].iloc[0])
         pos = _positions(rows["h1"].to_numpy(np.int64),
@@ -427,13 +444,18 @@ def cuckoo_maybe_seen(frontier: DataFrame, blobs: DataFrame, cfg: CrawlConfig,
         if not len(blob):
             out[flag] = False
             return out
-        n = int(blob["n_buckets"].iloc[0])
-        table = np.frombuffer(blob["table"].iloc[0], dtype=np.uint16)
-        ck = _CuckooTable(table.copy(), n)
         h1 = rows["h1"].to_numpy(np.int64)
         fp = _cuckoo_fingerprint(h1)
-        i1 = np.mod(h1.astype(np.uint64), np.uint64(n)).astype(np.int64)
-        out[flag] = ck.contains(i1, fp)
+        # cuckoo tables can't be bit-merged — probe EVERY blob row and OR
+        # the verdicts, so appended deltas never silently lose state
+        hits = np.zeros(len(rows), dtype=bool)
+        for idx in range(len(blob)):
+            n = int(blob["n_buckets"].iloc[idx])
+            table = np.frombuffer(blob["table"].iloc[idx], dtype=np.uint16)
+            ck = _CuckooTable(table.copy(), n)
+            i1 = np.mod(h1.astype(np.uint64), np.uint64(n)).astype(np.int64)
+            hits |= ck.contains(i1, fp).astype(bool)
+        out[flag] = hits
         return out
 
     return (keyed.groupBy("part_id").cogroup(blobs.groupBy("part_id"))

@@ -146,14 +146,15 @@ def train_centroids(corpus: DataFrame, n_centroids: int, *, iters: int = 3,
                     seed: int = 42, c_id: str = "vec_id",
                     c_vec: str = "embedding") -> DataFrame:
     """Deterministic k-means-lite: seed centroids by hashed sample, then
-    ``iters`` Lloyd steps, all as DataFrame aggregations."""
-    dim_row = corpus.select(F.size(c_vec)).first()
-    dim = dim_row[0]
+    ``iters`` Lloyd steps, all as DataFrame aggregations. Centroid ids come
+    from a row_number over the (deterministic) hash order — never
+    monotonically_increasing_id, whose values depend on partition layout."""
+    w = Window.orderBy("_h", c_id)  # n_centroids rows only — single task OK
     cents = (corpus
              .withColumn("_h", F.pmod(F.xxhash64(F.lit(seed), F.col(c_id)),
                                       F.lit(1_000_000)))
-             .orderBy("_h").limit(n_centroids)
-             .select(F.monotonically_increasing_id().alias("centroid_id"),
+             .orderBy("_h", c_id).limit(n_centroids)
+             .select((F.row_number().over(w) - 1).alias("centroid_id"),
                      F.col(c_vec).alias("centroid")))
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, c_id=c_id, c_vec=c_vec)

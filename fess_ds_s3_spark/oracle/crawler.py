@@ -55,9 +55,11 @@ class OracleCrawler:
     """
 
     def __init__(self, cfg: CrawlConfig,
-                 payloads: Mapping[tuple[str, str], Mapping[str, Any]],
+                 payloads: Mapping[tuple[str, str], Mapping[str, Any]] | None,
                  host_budgets: Mapping[str, int] | None = None):
         self.cfg = cfg
+        #: None = metadata-only listing crawl (engine payloads=None mode):
+        #: no GET, no MIME check; size-guarded rows are stored contents-less.
         self.payloads = payloads
         self.host_budgets = dict(host_budgets or {})
 
@@ -78,10 +80,23 @@ class OracleCrawler:
             res.discarded.append((url, DISCARD_URL_FILTER))
             return
 
-        # F3 size guard on listing size — E2 failure. (The reference checks
-        # post-GET at :223-226; outcome-identical, see SURVEY.md §4.1.)
-        if row["size"] > cfg.max_size:
-            res.failed.append((url, ERROR_MAX_LENGTH))
+        # metadata-only mode: no GET/MIME; size guard then contents-less store
+        if self.payloads is None:
+            if row["size"] > cfg.max_size:
+                res.failed.append((url, ERROR_MAX_LENGTH))
+                return
+            res.stored.append({
+                "url": url,
+                "management_url": management_url_py(
+                    row["bucket"], row["key"], cfg.region),
+                "bucket_name": row["bucket"],
+                "key": row["key"],
+                "filename": row["key"].rsplit("/", 1)[-1],
+                "size": row["size"],
+                "contents": None,
+                "resp_content_type": None,
+                "spans": row.get("spans"),
+            })
             return
 
         # GET (:212) — missing payload = access error (E2)
@@ -90,11 +105,18 @@ class OracleCrawler:
             res.failed.append((url, "NoSuchKeyException"))
             return
 
-        # F2 MIME allowlist on the *response* type (:215-221) — E1 discard
+        # F2 MIME allowlist on the *response* type (:215-221) — E1 discard.
+        # The reference checks contentType BEFORE the size guard, so a row
+        # that is both MIME-unsupported and oversize is a discard.
         resp_type = payload.get("resp_content_type", "")
         if not any(_full_match(p, resp_type)
                    for p in cfg.supported_mimetypes):
             res.discarded.append((url, DISCARD_MIMETYPE))
+            return
+
+        # F3 size guard (:223-226) — E2 failure, after the MIME check
+        if row["size"] > cfg.max_size:
+            res.failed.append((url, ERROR_MAX_LENGTH))
             return
 
         # extraction (:347-349, E3): error + ignore_error → contents=""
@@ -151,12 +173,15 @@ class OracleCrawler:
     # ----- engine mode: politeness + seen-set + rounds ----------------------
 
     def crawl_engine_order(self, frontier: Sequence[Mapping[str, Any]],
-                           n_rounds: int = 1) -> OracleResult:
+                           n_rounds: int = 1,
+                           global_cap: int | None = None) -> OracleResult:
         """Engine semantics: per round, unseen URLs ranked within host by
         (priority, discovery_time, url), top-budget admitted per host;
-        admission log ordered by (round, host, host_rank); every *admitted*
-        URL enters the seen set (stored, discarded and failed alike — a
-        URL is never retried)."""
+        ``global_cap`` (the max_keys page-size analog) then keeps only the
+        first ``cap`` admitted rows in (priority, discovery_time, url)
+        order; admission log ordered by (round, host, host_rank); every
+        *admitted* URL enters the seen set (stored, discarded and failed
+        alike — a URL is never retried)."""
         res = OracleResult()
         remaining = list(frontier)
         for rnd in range(n_rounds):
@@ -190,6 +215,11 @@ class OracleCrawler:
                     if len(picked) >= budget:
                         break
                 admitted.extend(picked)
+            if global_cap is not None and len(admitted) > global_cap:
+                admitted = sorted(
+                    admitted, key=lambda r: (r.get("priority", 0),
+                                             r.get("discovery_time", 0),
+                                             r["url"]))[:global_cap]
             seq = 0
             for row in admitted:
                 res.admissions.append((rnd, seq, row["url"]))

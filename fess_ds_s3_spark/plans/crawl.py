@@ -19,16 +19,21 @@ lastKey``, AmazonS3Client.java:144-146). The engine generalizes both:
   sequence, priority = parent priority + 1).
 
 Commit order per round matters for crash safety: sinks first, ``seen`` next,
-``rounds`` ledger LAST. The ledger commit is the round's commit point.
-Every sink row is stamped with its round id, and all reads — both the
-driver's own (``committed_seen``) and user-facing (``read_committed``) —
-filter to rounds ≤ the last ledger-committed round. A crash before the
-ledger commit therefore leaves invisible orphan rows (replayed cleanly and
-re-appended; the orphans stay invisible forever), and a crash after it
-resumes at round N+1. The bloom blob may contain uncommitted URLs after a
-crash — harmless: bloom positives are always confirmed against the exact
-committed ledger, so extra bits cost a little confirm work, never
-correctness.
+``rounds`` ledger LAST. The ledger commit is the round's commit point and
+records the *snapshot id of every sink append*; all reads — the driver's own
+(``committed_seen``) and user-facing (``read_committed``) — are unions of
+exactly those ledgered snapshot deltas. A crash before the ledger commit
+leaves orphan appends whose snapshot ids never reach the ledger, so they
+stay invisible FOREVER — including after the round is replayed and committed
+(replay appends new snapshots; the orphans' ids are still absent from the
+ledger). A crash after the ledger commit resumes at round N+1. Replay is
+deterministic because scheduling only reads frontier rows with
+``round <= round_id`` (orphan link-candidates are stamped round N+1 and thus
+invisible to a round-N replay; a committed round N+1 sees both the orphan
+and replayed candidate copies, which are identical rows collapsed by
+in-batch dedup). The bloom blob may contain uncommitted URLs after a crash —
+harmless: bloom positives are always confirmed against the exact committed
+ledger, so extra bits cost a little confirm work, never correctness.
 """
 
 from __future__ import annotations
@@ -58,6 +63,13 @@ ROUNDS_SCHEMA = StructType([
     StructField("round", IntegerType(), False),
     StructField("frontier_snapshot", IntegerType(), True),
     StructField("seen_snapshot", IntegerType(), True),
+    # per-sink snapshot ids: THE read path — committed reads union exactly
+    # these snapshots' deltas, so orphan appends from crashed attempts
+    # (absent from the ledger) can never become visible
+    StructField("indexed_snapshot", IntegerType(), True),
+    StructField("failures_snapshot", IntegerType(), True),
+    StructField("stats_snapshot", IntegerType(), True),
+    StructField("lineage_snapshot", IntegerType(), True),
     StructField("admitted", LongType(), True),
     StructField("stored", LongType(), True),
     StructField("discarded", LongType(), True),
@@ -117,15 +129,34 @@ class CrawlDriver:
                                         encode_urls=self.encode_urls),
             {"kind": "seed"})
 
+    def _ledgered_snapshots(self, snap_col: str) -> list[int]:
+        """Snapshot ids recorded in the committed rounds ledger."""
+        if not self.rounds.exists():
+            return []
+        ledger = self.rounds.read()
+        if snap_col not in ledger.columns:
+            return []
+        return sorted(r[0] for r in ledger.select(snap_col).collect()
+                      if r[0] is not None)
+
     def committed_seen(self) -> DataFrame:
-        """Seen rows from committed rounds only (crash-replay safety)."""
-        return (self.seen.read_or_empty(SEEN_SCHEMA)
-                .filter(F.col("round") <= F.lit(self.last_round())))
+        """Seen rows from ledger-committed snapshots only (crash-replay
+        safety: orphan appends never become visible)."""
+        ids = self._ledgered_snapshots("seen_snapshot")
+        if not ids:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.seen.read_deltas(ids)
 
     def read_committed(self, table_name: str) -> DataFrame:
-        """User-facing read of a sink table, restricted to committed rounds."""
+        """User-facing read of a sink table: union of exactly the snapshot
+        deltas recorded in the rounds ledger (never the cumulative current
+        snapshot, which may contain orphan appends from crashed rounds)."""
         table = self.catalog.table(table_name)
-        return table.read().filter(F.col("round") <= F.lit(self.last_round()))
+        ids = self._ledgered_snapshots(f"{table_name}_snapshot")
+        if ids:
+            return table.read_deltas(ids)
+        # no committed snapshots yet: empty frame with the table's schema
+        return table.read().limit(0)
 
     # ----- one round ----------------------------------------------------------
 
@@ -140,6 +171,14 @@ class CrawlDriver:
         """
         cfg = self.cfg
         frontier_df = self.frontier.read()
+        if "round" in frontier_df.columns:
+            # Replay determinism: schedule round N only over frontier rows
+            # discovered for rounds ≤ N. Orphan link-candidates appended by
+            # a crashed round-N attempt carry round N+1 and are invisible to
+            # the replay; once committed, the replayed append duplicates
+            # them with identical rows, collapsed by in-batch dedup.
+            frontier_df = frontier_df.filter(
+                F.coalesce(F.col("round"), F.lit(0)) <= F.lit(round_id))
         seen_df = self.committed_seen()
         blooms = (self.seen_bloom.read() if
                   (self.use_bloom and self.seen_bloom.exists()) else None)
@@ -148,26 +187,32 @@ class CrawlDriver:
             frontier_df, cfg, payloads=payloads,
             seen_exact=seen_df.select("canonical_url"),
             blooms=blooms, host_budgets=host_budgets,
-            use_salting=self.use_salting, encode_urls=self.encode_urls)
+            use_salting=self.use_salting, encode_urls=self.encode_urls,
+            # O2: max_keys = the per-round page size (reference pagination
+            # analog, AmazonS3Client.java:137-148) — each round admits at
+            # most max_keys URLs; the rest waits for the next round.
+            global_cap=cfg.max_keys)
 
         observed, obs = lineage_ops.observe_round(result.processed)
         # Cache the small admitted batch: it feeds 5 writes below.
         admitted = result.admitted.persist()
         processed = observed.withColumn("round", F.lit(round_id)).persist()
 
-        # 1-3. sinks (S5, S6, S7)
+        # 1-3. sinks (S5, S6, S7) — snapshot ids go into the rounds ledger;
+        # until that commit, these appends are invisible orphans
         stored_cols = [c for c in processed.columns if c != "content"]
-        self.indexed.append(
+        indexed_snap = self.indexed.append(
             processed.filter(F.col("status") == "stored").select(*stored_cols),
             {"round": round_id})
-        self.failures.append(
+        failures_snap = self.failures.append(
             processed.filter(F.col("status") == "failed")
             .select("url", "error_name", "error_message", "round"),
             {"round": round_id})
-        self.stats.append(lineage_ops.stats_events(processed, round_id),
-                          {"round": round_id})
-        self.lineage.append(lineage_ops.partition_lineage(admitted, round_id),
-                            {"round": round_id})
+        stats_snap = self.stats.append(
+            lineage_ops.stats_events(processed, round_id), {"round": round_id})
+        lineage_snap = self.lineage.append(
+            lineage_ops.partition_lineage(admitted, round_id),
+            {"round": round_id})
         metrics: dict[str, Any] = dict(obs.get)
 
         # 4. seen delta (every admitted URL, stored or not)
@@ -209,7 +254,8 @@ class CrawlDriver:
             new_links=new_links)
         self.rounds.append(
             self.spark.createDataFrame(
-                [(round_id, frontier_snap, seen_snap, summary.admitted,
+                [(round_id, frontier_snap, seen_snap, indexed_snap,
+                  failures_snap, stats_snap, lineage_snap, summary.admitted,
                   summary.stored, summary.discarded, summary.failed)],
                 ROUNDS_SCHEMA),
             {"round": round_id})

@@ -32,7 +32,8 @@ from fess_ds_s3_spark.config import CrawlConfig
 from fess_ds_s3_spark.functions.urls import build_object_url, canonicalize_url
 from fess_ds_s3_spark.operators import politeness, seen as seen_ops
 from fess_ds_s3_spark.operators.extract import (fetch_payloads,
-                                                route_fetch_and_extract)
+                                                route_extract,
+                                                route_fetch_miss)
 from fess_ds_s3_spark.operators.filters import (STATUS_DISCARDED,
                                                 STATUS_FAILED, STATUS_STORED,
                                                 apply_max_size_guard,
@@ -108,13 +109,22 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
              host_budgets: DataFrame | None = None,
              use_salting: bool = True,
              encode_urls: bool = True,
-             narrow: bool = True) -> DataFrame:
+             narrow: bool = True,
+             global_cap: int | None = None) -> DataFrame:
     """Scheduling half of the round: returns the admitted batch with
     ``host_rank`` (the within-host admission sequence).
 
     ``narrow=True`` projects to SCHEDULE_COLS before the shuffles; callers
     that need the full frontier row (run_round) join it back on ``url``
     AFTER admission shrinks the data (late materialization).
+
+    ``global_cap``: per-round admission LIMIT across all hosts — the O2
+    analog of the reference's listing page size (``max_keys``,
+    AmazonS3Client.java:137-148: one page of ≤ max_keys objects per
+    request; here one round = one page of work, the next round resumes
+    after it, like ``startAfter``). Deterministic total order
+    (priority, discovery_time, url) → Spark plans a distributed top-K
+    (TakeOrderedAndProject), never a full global sort.
     """
     df = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
     if narrow:
@@ -145,24 +155,47 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
                if "host" in frontier.columns else
                df.groupBy("host").count()
                .filter(F.col("count") > cfg.salt_threshold).select("host"))
-        return politeness.admit_per_host_salted(
+        admitted = politeness.admit_per_host_salted(
             df, cfg, host_budgets=host_budgets, hot_hosts=hot)
-    return politeness.admit_per_host(df, cfg, host_budgets=host_budgets)
+    else:
+        admitted = politeness.admit_per_host(df, cfg,
+                                             host_budgets=host_budgets)
+    if global_cap is not None:
+        rank = [F.col(c).asc() for c in politeness.DEFAULT_RANK_COLS]
+        admitted = admitted.orderBy(*rank).limit(global_cap)
+    return admitted
 
 
 def process(admitted: DataFrame, cfg: CrawlConfig,
             payloads: DataFrame | None = None, *,
             encode_urls: bool = True) -> DataFrame:
     """Processing half: filter chain + fetch + extract + project. Returns
-    the wide documents rows with status routing columns."""
+    the wide documents rows with status routing columns.
+
+    Routing order for fetched rows mirrors the reference exactly:
+    urlFilter (E1) → getObject miss (E2) → MIME allowlist (E1,
+    AmazonS3DataStore.java:215-221) → max-size (E2, :223-226) → extract
+    (E3). In particular an object that is both MIME-unsupported and
+    oversize is a *discard*, not a failure row — the reference checks
+    contentType first. In listing-only mode (no payload table) there is no
+    response type, so only the size guard applies.
+    """
     df = with_status_columns(admitted)
     df = apply_url_filter(df, cfg)
-    df = apply_max_size_guard(df, cfg)
     if payloads is not None:
         df = fetch_payloads(df, payloads)
+        if cfg.number_of_threads > 1:
+            # X1 fan-out: the reference's fixedThreadPool(number_of_threads)
+            # parallelizes per-object fetch+extract; the analog is the
+            # partition width of the Python extraction stage. Only an
+            # explicit >1 overrides Spark's natural task parallelism.
+            df = df.repartition(cfg.number_of_threads)
+        df = route_fetch_miss(df)
         df = apply_mimetype_filter(df, cfg)
-        df = route_fetch_and_extract(df, cfg)
+        df = apply_max_size_guard(df, cfg)
+        df = route_extract(df, cfg)
     else:
+        df = apply_max_size_guard(df, cfg)
         # listing-only crawl (no payload table): metadata-only store
         df = (df.withColumn("resp_content_type",
                             F.lit(None).cast("string"))
@@ -180,14 +213,15 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
               blooms: DataFrame | None = None,
               host_budgets: DataFrame | None = None,
               use_salting: bool = True,
-              encode_urls: bool = True) -> RoundResult:
+              encode_urls: bool = True,
+              global_cap: int | None = None) -> RoundResult:
     """Full round. The admitted batch is the pivot: it is small (budget-
     bounded), so caching it avoids recomputing the scheduling shuffle for
     each of the three sink writes + the seen delta."""
     admitted = schedule(
         frontier, cfg, seen_exact=seen_exact, blooms=blooms,
         host_budgets=host_budgets, use_salting=use_salting,
-        encode_urls=encode_urls, narrow=True)
+        encode_urls=encode_urls, narrow=True, global_cap=global_cap)
     # late materialization: join the wide frontier columns back onto the
     # (budget-bounded, small) admitted batch only. One row per url on the
     # right, chosen by min (priority, discovery_time, …) — the same winner
@@ -197,7 +231,15 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
                                                             "canonical_url")]
     if wide_cols:
         prepared = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
-        one_per_url = (prepared
+        # Prune the frontier to the admitted URL set BEFORE the per-url
+        # winner aggregation: the admitted batch is budget-bounded (small),
+        # so a broadcast left-semi join keeps the wide-column aggregate from
+        # shuffling the ENTIRE frontier every round — Catalyst cannot push
+        # the final join below the aggregate on its own (plan shape asserted
+        # in tests/test_invariance.py).
+        pruned = prepared.join(F.broadcast(admitted.select("url").distinct()),
+                               on="url", how="left_semi")
+        one_per_url = (pruned
                        .groupBy("url")
                        .agg(F.min(F.struct("priority", "discovery_time",
                                            *wide_cols)).alias("_w"))

@@ -23,6 +23,53 @@ import os
 
 from pyspark.sql import SparkSession
 
+from fess_ds_s3_spark.config import ConfigError, CrawlConfig
+
+
+def validate_client_params(cfg: CrawlConfig, *,
+                           require_credentials: bool = True) -> None:
+    """S8 client-open fail-fast validation, reference-exact semantics
+    (AmazonS3Client ctor, AmazonS3Client.java:67-114,166-172; tested cases
+    mirror AmazonS3ClientTest.java:112-159):
+
+    - region required (already enforced at config build),
+    - ``access_key_id`` and ``secret_key`` both required when opening a
+      store client (either one missing → error naming both params),
+    - ``proxy_host`` without ``proxy_port`` / non-numeric port → error
+      (enforced at config build; re-checked here for dict-built configs).
+    """
+    if not cfg.region:
+        raise ConfigError("Parameter 'region' is required")
+    if require_credentials and (not cfg.access_key_id or not cfg.secret_key):
+        raise ConfigError(
+            "Parameter 'access_key_id', 'secret_key' is required")
+    if cfg.proxy_host:
+        if not cfg.proxy_port:
+            raise ConfigError("proxy_port required.")
+        try:
+            int(str(cfg.proxy_port))
+        except ValueError as exc:
+            raise ConfigError("parameter 'proxy_port' invalid.") from exc
+
+
+def open_client(cfg: CrawlConfig, *, require_credentials: bool = True,
+                cores: int | None = None, **session_kwargs) -> SparkSession:
+    """S8 client/session open: validate the reference param surface, then
+    build the SparkSession (the engine's "client"). ``number_of_threads``
+    (X1, the reference's fixedThreadPool size) becomes the parallelism
+    floor: shuffle partitions never drop below it, and plans/round.py uses
+    it as the processing-stage fan-out."""
+    validate_client_params(cfg, require_credentials=require_credentials)
+    shuffle = session_kwargs.pop("shuffle_partitions", None)
+    if shuffle is None and cores:
+        shuffle = max(2 * cores, 8)
+    if shuffle is not None:
+        shuffle = max(shuffle, cfg.number_of_threads)
+    elif cfg.number_of_threads > 1:
+        shuffle = cfg.number_of_threads
+    return build_session(cores=cores, shuffle_partitions=shuffle,
+                         **session_kwargs)
+
 
 def build_session(cores: int | None = None, *,
                   app_name: str = "fess-ds-s3-spark",

@@ -45,6 +45,12 @@ class Snapshot:
     mode: str  # append | overwrite
     data_dirs: list[str]
     metadata: dict[str, Any] = field(default_factory=dict)
+    delta_dir: str | None = None  # files added by this snapshot alone
+
+    @property
+    def delta(self) -> str:
+        # pre-delta_dir manifests: an append's own files are the last entry
+        return self.delta_dir or self.data_dirs[-1]
 
 
 class SnapshotTable:
@@ -115,6 +121,7 @@ class SnapshotTable:
             "parent_id": parent.snapshot_id if parent else None,
             "mode": mode,
             "data_dirs": dirs,
+            "delta_dir": rel,  # the files ADDED by this snapshot alone
             "metadata": {"committed_at": time.time(), **(metadata or {})},
         })
         manifest["current"] = snap_id
@@ -135,6 +142,28 @@ class SnapshotTable:
             raise KeyError(f"{self.name}: table has no snapshots yet")
         paths = [os.path.join(self.root, d) for d in snap.data_dirs]
         return self.spark.read.parquet(*paths)
+
+    def read_deltas(self, snapshot_ids: list[int]) -> DataFrame:
+        """DataFrame over exactly the files ADDED by the given snapshots.
+
+        This is the crash-safe read path: a crashed round's orphan appends
+        have snapshot ids that never reach the rounds ledger, so reading the
+        ledgered snapshot deltas (instead of the cumulative current
+        snapshot) keeps orphan rows invisible even after the round is
+        replayed and committed (Iceberg analog: per-snapshot incremental
+        scan pinned by the ledger)."""
+        manifest = self._load()
+        by_id = {s["snapshot_id"]: Snapshot(**s)
+                 for s in manifest["snapshots"]}
+        dirs = []
+        for sid in snapshot_ids:
+            if sid not in by_id:
+                raise KeyError(f"{self.name}: no snapshot {sid}")
+            dirs.append(by_id[sid].delta)
+        if not dirs:
+            raise KeyError(f"{self.name}: no snapshots requested")
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dirs])
 
     def read_or_empty(self, schema, snapshot_id: int | None = None) -> DataFrame:
         try:

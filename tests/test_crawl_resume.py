@@ -116,3 +116,42 @@ class TestResume:
         assert resumed.last_round() == 0
         visible = resumed.read_committed("indexed")
         assert visible.filter(F.col("round") > 0).count() == 0
+
+    def test_crash_replay_does_not_duplicate(self, spark, cfg, tmp_path,
+                                             monkeypatch):
+        """The full crash-replay cycle: a round whose sink appends landed
+        but whose ledger commit did not must, after replay, be visible
+        EXACTLY ONCE — the orphan appends stay invisible forever because
+        committed reads union only the ledgered snapshot deltas."""
+        frontier = synthetic.synth_frontier(spark, 60, n_hosts=4, seed=3)
+
+        ctrl = CrawlDriver(spark, str(tmp_path / "ctrl"), cfg)
+        ctrl.seed(frontier)
+        ctrl.run(2, stop_when_empty=False)
+
+        crash = CrawlDriver(spark, str(tmp_path / "crash"), cfg)
+        crash.seed(frontier)
+        crash.run_round(0)
+        monkeypatch.setattr(
+            crash.rounds, "append",
+            lambda df, meta=None: (_ for _ in ()).throw(
+                RuntimeError("simulated crash before ledger commit")))
+        with pytest.raises(RuntimeError):
+            crash.run_round(1)  # sinks + seen appended, ledger NOT
+
+        resumed = CrawlDriver(spark, str(tmp_path / "crash"), cfg)
+        assert resumed.last_round() == 0
+        resumed.run_round(1)  # replay
+
+        got = [(r.url, r.round) for r in
+               resumed.read_committed("indexed").select("url", "round")
+               .collect()]
+        assert len(got) == len(set(got)), "orphan rows surfaced after replay"
+        want = {(r.url, r.round) for r in
+                ctrl.read_committed("indexed").select("url", "round")
+                .collect()}
+        assert set(got) == want
+        seen = [r.canonical_url for r in resumed.committed_seen().collect()]
+        assert len(seen) == len(set(seen))
+        assert set(seen) == {r.canonical_url
+                             for r in ctrl.committed_seen().collect()}

@@ -71,6 +71,25 @@ class TestMinHashLSH:
         if row is not None:
             assert row.inter <= row.union_
 
+    def test_hot_shingle_cap_bounds_join_and_keeps_real_pairs(self, spark):
+        """A boilerplate shingle planted in every doc must not quadratically
+        blow up the pair join when max_doc_freq caps it, and genuine
+        near-dup pairs still surface (the boilerplate contributes ~0
+        Jaccard signal)."""
+        boiler = "all rights reserved contact us"
+        rows = [(i, f"unique{i} " * 10 + boiler) for i in range(40)]
+        rows += [(100, "alpha beta gamma delta epsilon zeta " + boiler),
+                 (101, "alpha beta gamma delta epsilon zeta " + boiler)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                           max_doc_freq=5)
+        got = {(r.a, r.b) for r in capped.collect()}
+        assert (100, 101) in got
+        # boilerplate-only pairs are gone: without the cap every doc pair
+        # shares the boilerplate shingles
+        assert len(got) < 40
+        assert dedup.hot_shingle_count(docs, n=3, max_doc_freq=5) > 0
+
     def test_signature_determinism(self, spark, docs):
         s1 = {(r.doc_id, tuple(r.signature)) for r in
               dedup.minhash_signatures(docs, num_hashes=16).collect()}
@@ -87,18 +106,32 @@ class TestSimHash:
         got = {(r.a, r.b) for r in pairs}
         assert {(0, 1), (0, 2), (1, 2), (3, 4)} <= got
 
-    def test_blocking_complete_within_radius(self, spark, docs):
-        """Pigeonhole guarantee: every pair with Hamming ≤ 3 must be found
-        by 4-block blocking (compare against brute-force)."""
+    @pytest.mark.parametrize("radius", [0, 3, 12])
+    def test_blocking_complete_within_radius(self, spark, docs, radius):
+        """Pigeonhole guarantee at the requested radius: every pair with
+        Hamming ≤ r must be found by (r+1)-block blocking (vs brute force).
+        Radius 12 is the __spark_entry__ q_simhash parameterization."""
         sigs = dedup.simhash(docs)
         rows = sigs.select("doc_id", "simhash").collect()
         brute = set()
         for i, ri in enumerate(rows):
             for rj in rows[i + 1:]:
                 h = bin((ri.simhash ^ rj.simhash) & (2**64 - 1)).count("1")
-                if h <= 3:
+                if h <= radius:
                     a, b = sorted((ri.doc_id, rj.doc_id))
                     brute.add((a, b))
         blocked = {(r.a, r.b) for r in dedup.simhash_candidate_pairs(
-            sigs, max_hamming=3).collect()}
+            sigs, max_hamming=radius).collect()}
         assert blocked == brute
+
+    def test_block_widths_cover_64_bits(self):
+        for r in (0, 3, 12, 31, 63):
+            blocks = dedup._simhash_blocks(r)
+            assert len(blocks) == r + 1
+            assert sum(w for _, w in blocks) == 64
+            assert all(w >= 1 for _, w in blocks)
+            # contiguous, non-overlapping
+            pos = 0
+            for shift, width in blocks:
+                assert shift == pos
+                pos += width

@@ -144,3 +144,52 @@ class TestConfig:
         cfg = CrawlConfig.from_params(
             {"region": "r", "buckets": " a , b ,, c "})
         assert cfg.buckets == ("a", "b", "c")
+
+
+class TestClientValidation:
+    """S8 fail-fast parity — the five reference client-ctor failure cases
+    (AmazonS3ClientTest.java:112-159)."""
+
+    def test_missing_region(self):
+        from fess_ds_s3_spark.session import validate_client_params
+        with pytest.raises(ConfigError, match="region"):
+            CrawlConfig.from_params(
+                {"region": "", "access_key_id": "t", "secret_key": "t"})
+
+    def test_missing_access_key(self):
+        # AmazonS3Client.java:166-172: either credential missing → error
+        with pytest.raises(ConfigError, match="access_key_id"):
+            CrawlConfig.from_params({"region": "r", "secret_key": "t"})
+
+    def test_missing_secret_key(self):
+        with pytest.raises(ConfigError, match="secret_key"):
+            CrawlConfig.from_params({"region": "r", "access_key_id": "t"})
+
+    def test_client_open_requires_both_credentials(self):
+        from fess_ds_s3_spark.session import validate_client_params
+        cfg = CrawlConfig(region="r")  # valid engine-only config
+        with pytest.raises(ConfigError, match="access_key_id"):
+            validate_client_params(cfg)  # but a client open needs creds
+        validate_client_params(cfg, require_credentials=False)  # ok
+        validate_client_params(
+            CrawlConfig(region="r", access_key_id="a", secret_key="s"))
+
+    def test_proxy_host_without_port(self):
+        # AmazonS3Client.java:87-91
+        with pytest.raises(ConfigError, match="proxy_port required"):
+            CrawlConfig.from_params(
+                {"region": "r", "access_key_id": "t", "secret_key": "t",
+                 "proxy_host": "localhost"})
+
+    def test_invalid_proxy_port(self):
+        # AmazonS3Client.java:92-98 (NumberFormatException path)
+        with pytest.raises(ConfigError, match="proxy_port.*invalid"):
+            CrawlConfig.from_params(
+                {"region": "r", "access_key_id": "t", "secret_key": "t",
+                 "proxy_host": "localhost", "proxy_port": "invalid"})
+
+    def test_valid_proxy(self):
+        cfg = CrawlConfig.from_params(
+            {"region": "r", "access_key_id": "t", "secret_key": "t",
+             "proxy_host": "localhost", "proxy_port": "8080"})
+        assert cfg.proxy_port == "8080"

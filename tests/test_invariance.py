@@ -38,6 +38,22 @@ class TestRoundSizeInvariance:
                         .select("canonical_url").distinct().collect()}
         assert stored == distinct
 
+    def test_late_materialization_prunes_before_winner_agg(self, spark):
+        """Plan shape: the wide-column one-per-url winner aggregate must sit
+        ABOVE a left-semi prune against the admitted batch, never aggregate
+        the full frontier (the round's only full-width shuffle otherwise)."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=2)
+        frontier = synthetic.synth_frontier(spark, 100, n_hosts=4,
+                                            n_buckets=2, seed=7)
+        result = round_plan.run_round(frontier, cfg)
+        plan = result.processed._jdf.queryExecution().optimizedPlan().toString()
+        # round-1 plan had no semi join at all — the winner agg consumed the
+        # raw frontier; the prune introduces exactly one LeftSemi below it
+        assert "LeftSemi" in plan, plan
+        # and the winner aggregate (groupBy url) is still present above it
+        import re
+        assert re.search(r"Aggregate \[url#\d+\]", plan), plan
+
     def test_salt_count_invariance(self, spark):
         """Admitted set identical for any salt bucket count."""
         frontier = synthetic.synth_frontier(spark, 300, n_hosts=6,

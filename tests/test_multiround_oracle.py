@@ -43,7 +43,9 @@ class TestMultiRoundOracle:
         rows = [r.asDict() for r in prepared.select(
             "bucket", "key", "url", "host", "size", "priority",
             "discovery_time").collect()]
-        oracle = OracleCrawler(cfg, {}, host_budgets=budgets)
+        # payloads=None → metadata-only mode on both sides (engine stores
+        # listing rows without fetch; oracle mirrors)
+        oracle = OracleCrawler(cfg, None, host_budgets=budgets)
         expected = oracle.crawl_engine_order(rows, n_rounds=N_ROUNDS)
         exp_per_round: dict[int, set] = {}
         for rnd, _seq, url in expected.admissions:
@@ -57,9 +59,10 @@ class TestMultiRoundOracle:
 
         indexed = driver.read_committed("indexed")
         failures = driver.read_committed("failures")
-        # engine admissions per round = stored ∪ failed (metadata-only
-        # store: no payload table, so oracle's NoSuchKey fetch failures are
-        # engine stores; size-guard failures route identically in both)
+        # stored sets must match exactly (metadata-only on both sides)
+        assert ({r.url for r in indexed.collect()}
+                == set(expected.stored_urls))
+        # engine admissions per round = stored ∪ failed
         for rnd in range(N_ROUNDS):
             got = ({r.url for r in
                     indexed.filter(F.col("round") == rnd).collect()}
@@ -76,6 +79,45 @@ class TestMultiRoundOracle:
 
         got_seen = {r.canonical_url for r in driver.committed_seen().collect()}
         assert got_seen == expected.seen
+
+    def test_max_keys_caps_each_round_like_pagination(self, spark, tmp_path):
+        """O2: max_keys is the per-round page size — every round admits at
+        most max_keys URLs, the crawl still converges to the full frontier
+        (pagination invariance, AmazonS3ClientTest.java:187-201), and the
+        per-round partition matches the oracle with the same global cap."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=50,
+                          max_keys=13, max_size=15_000_000,
+                          bloom_expected=10_000, seen_partitions=8)
+        frontier = synthetic.synth_frontier(spark, 90, n_hosts=6,
+                                            n_buckets=3, seed=29)
+        prepared = round_plan.prepare_frontier(frontier, cfg)
+        rows = [r.asDict() for r in prepared.select(
+            "bucket", "key", "url", "host", "size", "priority",
+            "discovery_time").collect()]
+        oracle = OracleCrawler(cfg, None)
+        expected = oracle.crawl_engine_order(rows, n_rounds=12,
+                                             global_cap=cfg.max_keys)
+        exp_per_round: dict[int, set] = {}
+        for rnd, _seq, url in expected.admissions:
+            exp_per_round.setdefault(rnd, set()).add(url)
+
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(frontier)
+        summaries = driver.run(12)
+        for s in summaries:
+            assert s.admitted <= cfg.max_keys
+        indexed = driver.read_committed("indexed")
+        failures = driver.read_committed("failures")
+        for rnd in range(len(summaries)):
+            got = ({r.url for r in
+                    indexed.filter(F.col("round") == rnd).collect()}
+                   | {r.url for r in
+                      failures.filter(F.col("round") == rnd).collect()})
+            assert got == exp_per_round.get(rnd, set()), f"round {rnd}"
+        # pagination invariance: the whole frontier is eventually crawled
+        assert indexed.select("url").distinct().count() + \
+            failures.select("url").distinct().count() == \
+            frontier.select("url").distinct().count()
 
     def test_bloom_and_exact_paths_identical(self, spark, cfg, tmp_path):
         frontier = synthetic.synth_frontier(spark, 200, n_hosts=8,

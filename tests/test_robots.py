@@ -57,6 +57,24 @@ class TestParser:
         assert robots.robots_allowed(
             robots.parse_robots_txt(ROBOTS_A), agent, path) is expected
 
+    @pytest.mark.parametrize("path,expected", [
+        ("/doc/file.pdf", False),      # /*.pdf$ wildcard + anchor
+        ("/doc/file.pdfx", True),      # $ anchors: trailing chars escape
+        ("/tmp123/x", False),          # /tmp*/ mid-pattern wildcard
+        ("/tmp-keep/x", True),         # longer Allow beats /tmp*/
+        ("/a%20b/doc", False),         # encoded path vs encoded rule
+        ("/a b/doc", False),           # decoded path vs encoded rule
+        ("/open/x", True),
+    ])
+    def test_rfc9309_wildcards_and_encoding(self, path, expected):
+        body = ("User-agent: *\n"
+                "Disallow: /*.pdf$\n"
+                "Disallow: /tmp*/\n"
+                "Disallow: /a%20b/\n"
+                "Allow: /tmp-keep/\n")
+        rules = robots.parse_robots_txt(body)
+        assert robots.robots_allowed(rules, "any", path) is expected
+
     def test_plain_disallow_matches_robotparser(self):
         # where no Allow/Disallow conflict exists, stdlib agrees
         rp = urllib.robotparser.RobotFileParser()

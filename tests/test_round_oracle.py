@@ -128,6 +128,37 @@ class TestReferenceFixture:
         assert set(expected.discarded) == {
             (u, "mimetype") for _, _, u in expected.admissions}
 
+    def test_mime_checked_before_size(self, spark, fixture):
+        """Reference order (AmazonS3DataStore.java:215-226): an object that
+        is both MIME-unsupported and oversize is a DISCARD (contentType is
+        checked first) — never a MaxLengthExceeded failure row."""
+        frontier, payloads = fixture
+        cfg = CrawlConfig.from_params(
+            {"region": REGION, "supported_mimetypes": "text/plain",
+             "max_size": "1"})
+        expected, result = _run_both(spark, cfg, frontier, payloads)
+        assert result.failed.count() == 0
+        assert result.discarded.count() == 4
+        assert {r.discard_reason for r in result.discarded.collect()} == \
+            {"mimetype"}
+        assert set(expected.failed) == set()
+        assert len(expected.discarded) == 4
+
+    def test_number_of_threads_sets_processing_fanout(self, spark, fixture):
+        """X1: number_of_threads (the reference's fixedThreadPool size,
+        AmazonS3DataStore.java:150) is the processing-stage partition width
+        — a live knob, not dead config."""
+        frontier, payloads = fixture
+        cfg = CrawlConfig.from_params(
+            {"region": REGION, "number_of_threads": "3"})
+        result = round_plan.run_round(frontier, cfg, payloads=payloads)
+        assert result.processed.rdd.getNumPartitions() == 3
+        # results unchanged vs default parallelism
+        base = round_plan.run_round(frontier, CrawlConfig(region=REGION),
+                                    payloads=payloads)
+        assert sorted(r.url for r in result.stored.collect()) == \
+            sorted(r.url for r in base.stored.collect())
+
     def test_bucket_subset(self, spark, fixture):
         frontier, payloads = fixture
         cfg = CrawlConfig.from_params({"region": REGION, "buckets": "fess-0"})
@@ -147,7 +178,7 @@ class TestSyntheticEquivalence:
                                             n_buckets=5, seed=3)
         budgets = {f"host-{i:05d}.example.com": (i % 3) + 1
                    for i in range(25)}
-        oracle = OracleCrawler(cfg, {}, host_budgets=budgets)
+        oracle = OracleCrawler(cfg, None, host_budgets=budgets)
         prepared = round_plan.prepare_frontier(frontier, cfg)
         expected = oracle.crawl_engine_order(_frontier_rows(
             prepared.select("bucket", "key", "url", "host", "size",
@@ -160,9 +191,8 @@ class TestSyntheticEquivalence:
         # seen set equality
         got_seen = {r.canonical_url for r in result.seen_delta.collect()}
         assert got_seen == expected.seen
-        # status partition: no payload table → oracle fails with NoSuchKey,
-        # engine (payloads=None) stores metadata-only; sizes route identically
+        # status partition: metadata-only mode on both sides
         got_failed = {(r.url, r.error_name) for r in result.failed.collect()}
-        exp_failed = {(u, e) for u, e in expected.failed
-                      if e == "MaxLengthExceededException"}
-        assert got_failed == exp_failed
+        assert got_failed == set(expected.failed)
+        assert sorted(r.url for r in result.stored.collect()) == \
+            sorted(expected.stored_urls)

@@ -52,6 +52,26 @@ class TestBloom:
               .filter(F.col("maybe_seen")).count())
         assert fp / 5000 < 0.03  # 3× slack over the 1% design point
 
+    def test_multiple_blob_rows_per_part_are_or_merged(self, spark, cfg):
+        """A blooms table holding several blob rows per partition (appended
+        deltas instead of the driver's overwrite) must behave like the
+        merged filter — never silently drop state → false 'unseen'."""
+        a = _urls(spark, 400, prefix="a")
+        b = _urls(spark, 400, prefix="b")
+        bloom_a = seen_ops.build_bloom(a, cfg)
+        bloom_b = seen_ops.build_bloom(b, cfg)
+        stacked = bloom_a.unionByName(bloom_b)  # 2 rows per part_id
+        merged = seen_ops.merge_blooms(bloom_a, bloom_b)
+        both = a.unionByName(b)
+        for blooms in (stacked, merged):
+            # cogrouped probe path
+            assert (seen_ops.bloom_maybe_seen(both, blooms, cfg)
+                    .filter(~F.col("maybe_seen")).count() == 0)
+            # broadcast probe path
+            assert (seen_ops.bloom_maybe_seen_broadcast(
+                        both, blooms.collect(), cfg)
+                    .filter(~F.col("maybe_seen")).count() == 0)
+
     def test_filter_unseen_equals_exact(self, spark, cfg):
         frontier = _urls(spark, 2000)
         seen = _urls(spark, 700)
