@@ -362,8 +362,12 @@ def q_approx_distinct(spark, sf_dir):
 
 
 def q_decode_media(spark, sf_dir):
-    """Multimodal plumbing: binary media column → decoded metadata+features
-    via mapInPandas (deterministic stub kernel)."""
+    """Multimodal plumbing — ORACLE-CHECKED: binary media column → decoded
+    metadata via mapInPandas. The stub kernel is a pure function of
+    sha256(content) (multimodal.py:_fake_decode), so DuckDB reproduces the
+    width/height bit-for-bit from the same bytes — the whole mapInPandas
+    round-trip (Arrow batches, per-row error capture, schema) is verified,
+    not just row counts."""
     d = _docs(spark, sf_dir)
     media = d.select(
         F.concat(F.lit("m-"), F.col("doc_id")).alias("media_id"),
@@ -371,6 +375,22 @@ def q_decode_media(spark, sf_dir):
     return (multimodal.decode_media(media)
             .select("media_id", "media_type", "width", "height",
                     "decode_error"))
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Tier-4 dedup — ORACLE-CHECKED: embedding-cosine near-dup pairs via
+    SRP-LSH bucket collisions + exact cosine verify. Planted bit-identical
+    clones (vec_id+10^6 for vec_id < 50) are recalled deterministically
+    (identical vectors share every bucket); the DuckDB oracle computes the
+    same all-pairs cosine ≥ τ set exactly."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    clones = (emb.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      "embedding"))
+    corpus = emb.unionByName(clones)
+    return dedup.embedding_neardup_pairs(corpus, threshold=0.95, dim=64,
+                                         bits=8, tables=4)
 
 
 def q_rolling_fingerprint(spark, sf_dir):
@@ -490,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "decode_media": q_decode_media,
         "spans_roundtrip": q_spans_roundtrip,
+        "embed_neardup": q_embed_neardup,
         "rolling_fingerprint": q_rolling_fingerprint,
         "robots_filter": q_robots_filter,
         "ivf_topk": q_ivf_topk,
@@ -788,8 +809,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, discard_reason, count(*) AS n
             FROM routed GROUP BY status, discard_reason
             ORDER BY status, discard_reason""",
-        # simhash / ann_lsh / ivf_topk / decode_media: non-SQL-expressible
-        # (xxhash64-seeded sketch internals, seeded hyperplanes/centroids) —
-        # rows-only checks; exactness pinned in tests/ against in-engine
-        # exact baselines (brute-force Hamming / cosine re-rank).
+        "embed_neardup": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 50),
+            pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))),
+                       6) AS cos
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+            SELECT a, b FROM pairs WHERE cos >= 0.95""",
+        "decode_media": """
+            SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   'image' AS media_type,
+                   -- stub decode kernel: width/height are bytes 0 and 1 of
+                   -- sha256(content) (multimodal._fake_decode) — DuckDB
+                   -- recomputes them from the same utf-8 bytes
+                   CAST(16 + (('0x' || substr(sha256(text), 1, 2))::INT % 64)
+                        AS INT) AS width,
+                   CAST(16 + (('0x' || substr(sha256(text), 3, 2))::INT % 64)
+                        AS INT) AS height,
+                   CAST(NULL AS VARCHAR) AS decode_error
+            FROM documents""",
+        # simhash / ann_lsh / ivf_topk: non-SQL-expressible (xxhash64-seeded
+        # sketch internals, seeded hyperplanes/centroids) — rows-only
+        # checks; exactness pinned in tests/ against in-engine exact
+        # baselines (brute-force Hamming / cosine re-rank).
     }

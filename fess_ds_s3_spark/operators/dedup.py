@@ -12,8 +12,9 @@ Four tiers, cheapest-first — a 100 TB dedup pipeline runs them as a funnel:
 3. **SimHash** — 64-bit Charikar fingerprint + Hamming-ball blocking (split
    into ``radius + 1`` pigeonhole blocks; exact-match on any block →
    candidate — complete at any requested radius ≤ 63).
-4. **Embedding cosine** — near-dup by vector similarity (operators/
-   similarity.py provides the ANN machinery).
+4. **Embedding cosine** — :func:`embedding_neardup_pairs`: SRP-LSH bucket
+   collisions → exact cosine verify (crossJoin exact baseline for oracles;
+   operators/similarity.py provides the shared ANN machinery).
 
 Scale notes: LSH bands are the shuffle key — ``(band_id, band_hash)`` — so
 candidate generation never compares across buckets; skewed buckets (boiler-
@@ -245,6 +246,51 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
             .filter(F.col("inter").cast("double")
                     >= F.col("union_") * threshold)
             .select("a", "b", "inter", "union_"))
+
+
+def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            dim: int | None = None, bits: int = 8,
+                            tables: int = 4, seed: int = 42,
+                            exact: bool = False) -> DataFrame:
+    """Tier-4 near-dup: (a, b) pairs with cosine ≥ τ over an embedding
+    column.
+
+    ``exact=True``: all-pairs crossJoin + cosine — the quadratic oracle
+    baseline (|n|² pairs; fine for verification corpora).
+
+    ``exact=False`` (default): SRP-LSH bucket-collision candidates → exact
+    cosine verify of candidates only — the 100 TB path. The shuffle is
+    keyed on (table, bucket); cost is Σ bucket², not n². Bit-identical
+    vectors share every bucket in every table, so exact-duplicate recall is
+    1 deterministically; near-identical recall tunes with (bits, tables)
+    and is pinned against the exact baseline in tests.
+
+    ``dim`` is required for the LSH path (hyperplane shapes); pass it
+    explicitly — no ``.first()`` at plan-build time.
+    """
+    from fess_ds_s3_spark.operators.similarity import cosine, srp_bucket_udf
+
+    if exact:
+        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        bucketize = srp_bucket_udf(dim, bits=bits, tables=tables, seed=seed)
+        hashed = df.select(F.col(id_col), F.col(vec_col),
+                           F.explode(bucketize(F.col(vec_col))).alias("_b"))
+        left = hashed.select(F.col("_b"), F.col(id_col).alias("a"),
+                             F.col(vec_col).alias("va"))
+        right = hashed.select(F.col("_b"), F.col(id_col).alias("b"),
+                              F.col(vec_col).alias("vb"))
+        cand = (left.join(right, "_b").filter(F.col("a") < F.col("b"))
+                .select("a", "va", "b", "vb").distinct())
+    scored = cand.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    return scored.filter(F.col("cos") >= threshold).select("a", "b")
 
 
 def hot_shingle_count(df: DataFrame, text: str = "text",

@@ -99,6 +99,31 @@ class TestMinHashLSH:
         assert s1 == s2
 
 
+class TestEmbeddingNearDup:
+    def test_lsh_recalls_identical_clones_and_never_exceeds_exact(self, spark):
+        """Tier-4 dedup: the SRP-LSH path must (a) be a subset of the exact
+        all-pairs result (verify stage is exact cosine) and (b) recall
+        bit-identical clones with probability 1 (same buckets always)."""
+        import numpy as np
+        rng = np.random.RandomState(7)
+        vecs = [(i, rng.randn(16).astype("float32").tolist())
+                for i in range(30)]
+        vecs += [(100 + i, vecs[i][1]) for i in range(5)]  # identical clones
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        exact = {(r.a, r.b) for r in dedup.embedding_neardup_pairs(
+            df, threshold=0.95, exact=True).collect()}
+        lsh = {(r.a, r.b) for r in dedup.embedding_neardup_pairs(
+            df, threshold=0.95, dim=16, bits=8, tables=4).collect()}
+        assert lsh <= exact
+        assert {(i, 100 + i) for i in range(5)} <= lsh
+
+    def test_requires_dim_for_lsh(self, spark):
+        df = spark.createDataFrame([(0, [1.0, 2.0])],
+                                   "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="dim"):
+            dedup.embedding_neardup_pairs(df, threshold=0.9)
+
+
 class TestSimHash:
     def test_identical_docs_distance_zero(self, spark, docs):
         pairs = dedup.simhash_candidate_pairs(
