@@ -89,11 +89,26 @@ def prepare_frontier(frontier: DataFrame, cfg: CrawlConfig, *,
 def dedup_in_batch(df: DataFrame,
                    rank_by=politeness.DEFAULT_RANK_COLS) -> DataFrame:
     """First-by-rank per canonical URL within the batch (oracle: in-batch
-    dedup before budget counting)."""
-    w = Window.partitionBy("canonical_url").orderBy(
-        *[F.col(c).asc() for c in rank_by])
-    return (df.withColumn("_dup_rank", F.row_number().over(w))
-            .filter(F.col("_dup_rank") == 1).drop("_dup_rank"))
+    dedup before budget counting).
+
+    Implemented as ``groupBy(canonical_url).min(struct(rank_by, rest))``
+    rather than a row_number window: identical winner (the struct compares
+    lexicographically and ``rank_by`` ends with the unique ``url`` tie-break)
+    but a hash aggregate gets MAP-SIDE PARTIAL COMBINE — duplicate URLs
+    collapse before the shuffle — and skips the window's per-partition sort
+    entirely. At 10^10-URL frontiers with re-discovered links this is the
+    difference between shuffling the frontier and shuffling its distinct
+    set."""
+    rank_cols = [c for c in rank_by]
+    others = [c for c in df.columns
+              if c not in rank_cols and c != "canonical_url"]
+    agg = (df.groupBy("canonical_url")
+           .agg(F.min(F.struct(*rank_cols, *others)).alias("_w")))
+    # restore the caller's column order
+    return agg.select(*[
+        F.col("canonical_url") if c == "canonical_url"
+        else F.col(f"_w.{c}").alias(c)
+        for c in df.columns])
 
 
 #: columns the scheduler actually needs — everything else is
@@ -131,11 +146,11 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
         keep = [c for c in df.columns
                 if c in SCHEDULE_COLS or c == "round"]
         df = df.select(*keep)
-    # Order matters for plan shape: the dedup window is the pipeline's first
-    # shuffle, placed BEFORE the seen filter (semantics-preserving: the
-    # rank-1 survivor per canonical URL is the same whether duplicates are
-    # removed before or after the unseen check). Every later branch — the
-    # bloom union, the hot-host count, the two politeness windows — then
+    # Order matters for plan shape: the dedup aggregate is the pipeline's
+    # first shuffle, placed BEFORE the seen filter (semantics-preserving:
+    # the min-rank survivor per canonical URL is the same whether duplicates
+    # are removed before or after the unseen check). Every later branch —
+    # the bloom union, the hot-host count, the two politeness windows — then
     # hangs off this Exchange and ReuseExchange evaluates the expensive
     # pre-shuffle subtree (scan + canonicalize UDF) exactly once. No
     # persist: caching wide string rows costs more than the recompute.
