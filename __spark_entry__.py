@@ -96,6 +96,50 @@ _MAX_SIZE = 300
 # crawl-engine queries
 # ---------------------------------------------------------------------------
 
+def q_bucket_catalog(spark, sf_dir):
+    """S1: bucket catalog scan — the listBuckets dim (name + object stats),
+    the reference's getBuckets iteration surface (AmazonS3Client.java:124-132)."""
+    return (_frontier(spark, sf_dir).groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_objects"),
+                 F.min("key").alias("first_key"))
+            .orderBy("bucket"))
+
+
+def q_fetch_join(spark, sf_dir):
+    """S4/J1: point content fetch as a (bucket, key) equi join against the
+    payload table + E2 fetch-miss routing (getObject throws →
+    NoSuchKeyException failure row). Payloads exist for doc_id % 7 == 0."""
+    from fess_ds_s3_spark.operators.extract import (fetch_payloads,
+                                                    route_fetch_miss)
+    f = flt.with_status_columns(_frontier(spark, sf_dir))
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    key = F.concat(F.lit("docs/"), F.col("lang"), F.lit("/"),
+                   F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+                   F.lit(".txt"))
+    payloads = d.select(F.col("source").alias("bucket"), key.alias("key"),
+                        F.encode("text", "utf-8").alias("content"))
+    out = route_fetch_miss(fetch_payloads(f, payloads))
+    return out.select("url", "status", "error_name")
+
+
+def q_object_fields(spark, sf_dir):
+    """P4 (date arithmetic/cast) + P8 (filetype lookup map) as gate-checked
+    scalar projections (the full 38-field objectMap is golden-tested in
+    tests/test_project.py)."""
+    filetype_map = {"text/plain": "txt", "text/html": "html",
+                    "application/json": "json", "application/pdf": "pdf"}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in filetype_map.items() for x in kv])
+    f = _frontier(spark, sf_dir)
+    mod_date = F.date_add(F.to_date(F.lit("2020-01-01")),
+                          (F.col("doc_id") % 1000).cast("int"))
+    return f.select(
+        "doc_id",
+        F.coalesce(mapping[F.col("resp_content_type")],
+                   F.lit("others")).alias("filetype"),
+        mod_date.cast("string").alias("mod_date"))
+
+
 def q_listing_order(spark, sf_dir):
     """S3/O1: per-bucket ascending binary key order, first max_keys=50."""
     return (politeness.reference_order_admission(
@@ -482,6 +526,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "bucket_catalog": q_bucket_catalog,
+        "fetch_join": q_fetch_join,
+        "object_fields": q_object_fields,
         "listing_order": q_listing_order,
         "bucket_filter": q_bucket_filter,
         "url_build": q_url_build,
@@ -549,6 +596,27 @@ def oracle_sql() -> dict[str, str]:
     FROM admitted
     """
     return {
+        "bucket_catalog": FRONTIER_CTE + """
+            SELECT bucket, count(*) AS n_objects, min(key) AS first_key
+            FROM frontier GROUP BY bucket ORDER BY bucket""",
+        "fetch_join": FRONTIER_CTE + """
+            SELECT url,
+                   CASE WHEN doc_id % 7 = 0 THEN 'pending'
+                        ELSE 'failed' END AS status,
+                   CASE WHEN doc_id % 7 != 0
+                        THEN 'NoSuchKeyException' END AS error_name
+            FROM frontier""",
+        "object_fields": FRONTIER_CTE + """
+            SELECT doc_id,
+                   CASE resp_content_type
+                        WHEN 'text/plain' THEN 'txt'
+                        WHEN 'text/html' THEN 'html'
+                        WHEN 'application/json' THEN 'json'
+                        WHEN 'application/pdf' THEN 'pdf'
+                        ELSE 'others' END AS filetype,
+                   CAST(DATE '2020-01-01'
+                        + CAST(doc_id % 1000 AS INT) AS VARCHAR) AS mod_date
+            FROM frontier""",
         "listing_order": FRONTIER_CTE + """
             SELECT bucket, key, page_rank FROM (
               SELECT bucket, key, CAST(row_number() OVER (
