@@ -76,3 +76,60 @@ def continuous_crawl(spark: SparkSession, frontier_stream: DataFrame,
             .trigger(availableNow=True)
             .foreachBatch(_process)
             .start())
+
+
+#: output schema of :func:`host_rate_state`
+HOST_RATE_SCHEMA = ("host string, window_start long, n_fetches long, "
+                    "throttled boolean")
+_HOST_RATE_STATE_SCHEMA = "window_start long, n long"
+
+
+def host_rate_state(fetch_stream: DataFrame, *,
+                    window_seconds: int = 60,
+                    max_per_window: int = 100,
+                    host: str = "host",
+                    event_time: str = "event_time") -> DataFrame:
+    """Custom stateful streaming operator (X2-adjacent): per-host fetch-rate
+    tracking via ``applyInPandasWithState``.
+
+    State per host = (current fixed window start, fetch count in it); each
+    micro-batch folds its events into the window counters and emits one row
+    per (host, window) touched, flagged ``throttled`` once the count exceeds
+    ``max_per_window`` — the streaming analog of the crawl-delay budget
+    (operators/robots.crawl_delay_budgets derives the same bound for batch
+    rounds). Windows are fixed epochs (``floor(event_time / w) * w``), so
+    output is invariant to micro-batch boundaries for counts, and the state
+    store carries only two longs per host — safe at millions of hosts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    w = int(window_seconds)
+
+    def _update(key, pdfs, state: GroupState):
+        (host_key,) = key
+        if state.exists:
+            win_start, n = state.get
+        else:
+            win_start, n = -1, 0
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            secs = (pd.to_numeric(pdf[event_time]) // w * w).astype("int64")
+            for ws_val, c in secs.value_counts().items():
+                counts[int(ws_val)] = counts.get(int(ws_val), 0) + int(c)
+        rows = []
+        for ws_val in sorted(counts):
+            if ws_val == win_start:
+                n += counts[ws_val]
+            else:
+                win_start, n = ws_val, counts[ws_val]
+            rows.append((host_key, win_start, n, n > max_per_window))
+        if rows:
+            state.update((win_start, n))
+            yield pd.DataFrame(rows, columns=["host", "window_start",
+                                              "n_fetches", "throttled"])
+
+    return (fetch_stream.groupBy(host)
+            .applyInPandasWithState(_update, HOST_RATE_SCHEMA,
+                                    _HOST_RATE_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

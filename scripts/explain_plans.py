@@ -21,6 +21,9 @@ def main():
 
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.sql.shuffle.partitions", "8")
+             # AQE wraps everything in AdaptiveSparkPlan and hides the
+             # codegen stages until execution — off for plan inspection
+             .config("spark.sql.adaptive.enabled", "false")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     names = sys.argv[1:] or ["admission_round1", "politeness",
@@ -33,9 +36,12 @@ def main():
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        final = str(df._jdf.queryExecution().executedPlan())
         print(f"{'='*70}\n{name}\n{'='*70}")
         print(plan)
-        wsc = plan.count("WholeStageCodegen")
+        import re
+        # executedPlan marks codegen stages as "*(N) Operator"
+        wsc = len(set(re.findall(r"\*\((\d+)\)", final)))
         print(f"--- summary: WholeStageCodegen spans={wsc}, "
               f"broadcasts={plan.count('BroadcastExchange')}, "
               f"shuffles={plan.count('Exchange') - plan.count('BroadcastExchange')}, "

@@ -11,6 +11,7 @@ from fess_ds_s3_spark.config import CrawlConfig
 from fess_ds_s3_spark.plans.crawl import CrawlDriver
 from fess_ds_s3_spark.sources import synthetic
 from fess_ds_s3_spark.streaming.rounds import (continuous_crawl,
+                                               host_rate_state,
                                                stream_frontier)
 
 
@@ -51,6 +52,42 @@ class TestStreamingRounds:
                        for r in stream_driver.committed_seen().collect()}
         assert stream_urls == batch_urls
         assert len(rounds_seen) >= 1
+
+    def test_host_rate_state_counts_and_restores(self, spark, tmp_path):
+        """applyInPandasWithState per-host rate tracking: fixed-window
+        counts, throttle flag past the budget, and state restore across a
+        checkpointed restart (same window keeps accumulating; a new window
+        resets)."""
+        schema = "host string, event_time long"
+        src = str(tmp_path / "fetches")
+        ckpt = str(tmp_path / "ck")
+        spark.createDataFrame(
+            [("a", 0), ("a", 10), ("a", 50), ("b", 5)], schema
+        ).write.parquet(src, mode="append")
+
+        def run(name):
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = host_rate_state(stream, window_seconds=60,
+                                  max_per_window=2)
+            res = str(tmp_path / f"out-{name}")
+            q = (out.writeStream.outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(lambda df, _bid:
+                               df.write.mode("append").parquet(res))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return {(r.host, r.window_start): (r.n_fetches, r.throttled)
+                    for r in spark.read.parquet(res).collect()}
+
+        rows = run("rates1")
+        assert rows[("a", 0)] == (3, True)   # 3 > budget 2 → throttled
+        assert rows[("b", 0)] == (1, False)
+
+        spark.createDataFrame([("b", 20), ("a", 70)], schema
+                              ).write.parquet(src, mode="append")
+        rows2 = run("rates2")
+        assert rows2[("b", 0)] == (2, False)   # restored state: 1 + 1
+        assert rows2[("a", 60)] == (1, False)  # new window resets
 
     def test_stream_restart_no_duplicates(self, spark, cfg, tmp_path):
         """availableNow restart over the same checkpoint must not re-admit
