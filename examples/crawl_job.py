@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--hosts", type=int, default=500)
     parser.add_argument("--budget", type=int, default=100)
+    # max_keys is the per-round admission page size (reference pagination
+    # analog); size it to rows so the default run drains in --rounds rounds
+    parser.add_argument("--max-keys", type=int, default=None)
     parser.add_argument("--warehouse", default="/tmp/crawl-wh")
     args = parser.parse_args()
 
@@ -34,6 +37,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     cfg = CrawlConfig(region="us-east-1",
                       default_host_budget=args.budget,
+                      max_keys=args.max_keys or max(args.rows, 1000),
                       bloom_expected=max(args.rows // 64, 1000))
     driver = CrawlDriver(spark, args.warehouse, cfg)
     if driver.last_round() < 0:
