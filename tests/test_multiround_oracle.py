@@ -119,6 +119,53 @@ class TestMultiRoundOracle:
             failures.select("url").distinct().count() == \
             frontier.select("url").distinct().count()
 
+    def test_multiround_with_payloads_matches_oracle(self, spark, tmp_path):
+        """Full driver rounds in FETCHED mode: payload join, fetch-miss E2,
+        MIME E1 before size E2 (reference order), extraction — per-round
+        stored/discarded/failed partitions must match the oracle."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=4,
+                          max_size=12_000_000,
+                          supported_mimetypes=("text/plain",),
+                          bloom_expected=10_000, seen_partitions=8)
+        frontier = synthetic.synth_frontier(spark, 120, n_hosts=6,
+                                            n_buckets=3, seed=43)
+        # payloads for 2/3 of keys: alternate supported/unsupported MIME
+        rows = frontier.select("bucket", "key").distinct().collect()
+        payload_rows = [
+            (r.bucket, r.key, bytearray(f"body of {r.key}", "utf-8"),
+             "text/plain" if i % 2 == 0 else "application/octet-stream")
+            for i, r in enumerate(sorted(rows, key=lambda x: (x.bucket,
+                                                              x.key)))
+            if i % 3 != 0]
+        payloads_df = spark.createDataFrame(
+            payload_rows,
+            "bucket string, key string, content binary, "
+            "resp_content_type string")
+        payload_map = {(b, k): {"content": bytes(c),
+                                "resp_content_type": m}
+                       for b, k, c, m in payload_rows}
+
+        prepared = round_plan.prepare_frontier(frontier, cfg)
+        oracle_rows = [r.asDict() for r in prepared.select(
+            "bucket", "key", "url", "host", "size", "priority",
+            "discovery_time").collect()]
+        oracle = OracleCrawler(cfg, payload_map)
+        expected = oracle.crawl_engine_order(oracle_rows, n_rounds=6)
+
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(frontier)
+        driver.run(6, payloads=payloads_df, stop_when_empty=False)
+
+        indexed = driver.read_committed("indexed")
+        failures = driver.read_committed("failures")
+        assert {r.url for r in indexed.collect()} == set(expected.stored_urls)
+        assert {(r.url, r.error_name) for r in failures.collect()} == \
+            set(expected.failed)
+        # discards: mimetype-rejected rows (E1) — one stats row per doc
+        stats = driver.read_committed("stats")
+        assert (stats.filter(F.col("action") == "discard").count()
+                == len(expected.discarded))
+
     def test_bloom_and_exact_paths_identical(self, spark, cfg, tmp_path):
         frontier = synthetic.synth_frontier(spark, 200, n_hosts=8,
                                             n_buckets=4, seed=23)
