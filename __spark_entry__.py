@@ -437,6 +437,22 @@ def q_embed_neardup(spark, sf_dir):
                                          bits=8, tables=4)
 
 
+def q_mime_sniff(spark, sf_dir):
+    """P7 — ORACLE-CHECKED: content-based MIME re-detection (magic bytes →
+    extension → utf-8 heuristic, extract.sniff_mime_py). Payload bytes are
+    utf-8 text, so every branch is reproducible in SQL: ASCII magics are
+    text prefixes, the extension map is a CASE, and the utf-8 fallback
+    always lands text/plain."""
+    from fess_ds_s3_spark.operators.extract import sniff_mime
+    d = _docs(spark, sf_dir)
+    filename = (F.when(F.col("lang") == "en", F.lit("doc.txt"))
+                .when(F.col("lang") == "zh", F.lit("doc.html"))
+                .otherwise(F.lit("doc.bin")))
+    return d.select(
+        "doc_id",
+        sniff_mime(F.encode("text", "utf-8"), filename).alias("sniffed"))
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Rabin-Karp rolling-hash fingerprint (oracle: DuckDB list_reduce)."""
     d = _docs(spark, sf_dir)
@@ -557,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "decode_media": q_decode_media,
         "spans_roundtrip": q_spans_roundtrip,
+        "mime_sniff": q_mime_sniff,
         "embed_neardup": q_embed_neardup,
         "rolling_fingerprint": q_rolling_fingerprint,
         "robots_filter": q_robots_filter,
@@ -877,6 +894,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, discard_reason, count(*) AS n
             FROM routed GROUP BY status, discard_reason
             ORDER BY status, discard_reason""",
+        "mime_sniff": """
+            SELECT doc_id,
+                   CASE
+                     -- magic bytes first (ASCII magics are text prefixes;
+                     -- PNG/JPEG magics can't lead utf-8-encoded text)
+                     WHEN substr(text, 1, 4) = '%PDF'
+                          THEN 'application/pdf'
+                     WHEN substr(text, 1, 4) = 'GIF8' THEN 'image/gif'
+                     WHEN substr(text, 1, 4) = 'PK' || chr(3) || chr(4)
+                          THEN 'application/zip'
+                     WHEN substr(text, 1, 5) = '<?xml'
+                          THEN 'application/xml'
+                     -- then the extension map (filename derived from lang)
+                     WHEN lang = 'en' THEN 'text/plain'
+                     WHEN lang = 'zh' THEN 'text/html'
+                     -- .bin maps to octet-stream in the extension table
+                     ELSE 'application/octet-stream' END AS sniffed
+            FROM documents""",
         "embed_neardup": """
             WITH corpus AS (
               SELECT vec_id, embedding FROM embeddings
