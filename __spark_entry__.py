@@ -437,6 +437,19 @@ def q_embed_neardup(spark, sf_dir):
                                          bits=8, tables=4)
 
 
+def q_object_map(spark, sf_dir):
+    """P5/P6 — ORACLE-CHECKED: the objectMap projection over a listing-only
+    frontier (no content column → mimetype carries the response type; owner
+    and response-passthrough fields are null-safe typed nulls, the
+    reference's null-owner behavior, AmazonS3DataStoreTest.java:302-322)."""
+    from fess_ds_s3_spark.operators.project import build_object_map
+    cfg = CrawlConfig(region=REGION)
+    m = build_object_map(_frontier(spark, sf_dir), cfg)
+    return m.select("url", "management_url", "filename", "bucket_name",
+                    "key", "size", "owner_id", "mimetype", "content_type",
+                    "filetype", "e_tag", "storage_class", "content_length")
+
+
 def q_mime_sniff(spark, sf_dir):
     """P7 — ORACLE-CHECKED: content-based MIME re-detection (magic bytes →
     extension → utf-8 heuristic, extract.sniff_mime_py). Payload bytes are
@@ -573,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "decode_media": q_decode_media,
         "spans_roundtrip": q_spans_roundtrip,
+        "object_map": q_object_map,
         "mime_sniff": q_mime_sniff,
         "embed_neardup": q_embed_neardup,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -894,6 +908,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, discard_reason, count(*) AS n
             FROM routed GROUP BY status, discard_reason
             ORDER BY status, discard_reason""",
+        "object_map": FRONTIER_CTE + f"""
+            SELECT url,
+                   'https://s3.console.aws.amazon.com/s3/object/' || bucket
+                     || '/' || key || '?region={REGION}' AS management_url,
+                   regexp_extract(key, '([^/]*)$', 1) AS filename,
+                   bucket AS bucket_name, key, size,
+                   CAST(NULL AS VARCHAR) AS owner_id,
+                   resp_content_type AS mimetype,
+                   resp_content_type AS content_type,
+                   CASE resp_content_type
+                        WHEN 'text/plain' THEN 'txt'
+                        WHEN 'text/html' THEN 'html'
+                        ELSE 'others' END AS filetype,
+                   CAST(NULL AS VARCHAR) AS e_tag,
+                   CAST(NULL AS VARCHAR) AS storage_class,
+                   CAST(NULL AS BIGINT) AS content_length
+            FROM frontier""",
         "mime_sniff": """
             SELECT doc_id,
                    CASE
