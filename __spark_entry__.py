@@ -370,11 +370,21 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs with Hamming ≤ 4 (5-block pigeonhole —
-    recall-complete at the requested radius, proven vs brute force in
-    tests/test_dedup.py at radii 0/3/12)."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    sigs = dedup.simhash(d)
+    """SimHash near-dup pairs with Hamming ≤ 4 — ORACLE-CHECKED: tokens use
+    the portable md5-derived 60-bit hash so DuckDB rebuilds the identical
+    signatures bit-for-bit, and (radius+1)-block pigeonhole recall is
+    COMPLETE at the radius (proven vs brute force at r=0/3/12 in tests), so
+    blocked candidate pairs == all pairs within the radius == the oracle's
+    all-pairs set."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0) \
+        .select("doc_id", "text")
+    # planted positives: exact clones (Hamming 0) + one-token edits (small
+    # but corpus-dependent Hamming — both engines agree either way)
+    exact = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    near = d.select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" nearduplicate")).alias("text"))
+    corpus = d.unionByName(exact).unionByName(near)
+    sigs = dedup.simhash(corpus, token_hash=dedup.md5_token_hash60)
     return dedup.simhash_candidate_pairs(sigs, max_hamming=4)
 
 
@@ -908,6 +918,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, discard_reason, count(*) AS n
             FROM routed GROUP BY status, discard_reason
             ORDER BY status, discard_reason""",
+        "simhash": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' nearduplicate'
+              FROM documents WHERE doc_id % 10 = 0),
+            docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ') AS words
+              FROM corpus),
+            toks AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+              FROM docs, unnest(words) t(w)),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM toks, unnest(generate_series(0, 59)) s(i)
+              GROUP BY 1, 2),
+            sigs AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                          ELSE 0 END) AS sig
+              FROM bits GROUP BY 1)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4""",
         "object_map": FRONTIER_CTE + f"""
             SELECT url,
                    'https://s3.console.aws.amazon.com/s3/object/' || bucket
@@ -972,8 +1014,8 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS height,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM documents""",
-        # simhash / ann_lsh / ivf_topk: non-SQL-expressible (xxhash64-seeded
-        # sketch internals, seeded hyperplanes/centroids) — rows-only
-        # checks; exactness pinned in tests/ against in-engine exact
-        # baselines (brute-force Hamming / cosine re-rank).
+        # ann_lsh / ivf_topk: non-SQL-expressible (numpy-seeded gaussian
+        # hyperplanes / Lloyd-iterated centroids) — rows-only checks;
+        # recall + score exactness pinned in tests/ against the in-engine
+        # brute-force cosine baseline.
     }

@@ -309,10 +309,17 @@ def hot_shingle_count(df: DataFrame, text: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", token_hash=None) -> DataFrame:
     """64-bit Charikar simhash per document (vectorized pandas UDF: token
     hash bit-votes). Blocking keys are derived by
-    :func:`simhash_candidate_pairs` from the requested radius."""
+    :func:`simhash_candidate_pairs` from the requested radius.
+
+    ``token_hash``: Column→Column token hash, default ``xxhash64`` (fastest,
+    engine mode). Pass a portable hash (e.g. md5-derived, see
+    ``md5_token_hash60``) when the signatures must be reproducible outside
+    Spark — with a portable hash the ENTIRE simhash pipeline is
+    oracle-checkable, since pigeonhole blocking is recall-complete at the
+    requested radius and therefore equals all-pairs-within-radius."""
 
     @pandas_udf(LongType())
     def _simhash(token_hashes: pd.Series) -> pd.Series:
@@ -322,8 +329,11 @@ def simhash(df: DataFrame, text: str = "text",
                 out.append(0)
                 continue
             h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            # cast the bit matrix to SIGNED before the ±1 vote: in uint64,
+            # 0*2-1 underflows to 2^64-1 and the majority vote silently
+            # degenerates to "any bit set" (caught by the DuckDB oracle)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1))
+                    & np.uint64(1)).astype(np.int64)
             votes = (bits * 2 - 1).sum(axis=0)
             sig = np.uint64(0)
             for i in np.where(votes > 0)[0]:
@@ -331,11 +341,23 @@ def simhash(df: DataFrame, text: str = "text",
             out.append(int(sig.astype(np.int64)))
         return pd.Series(out)
 
+    hash_fn = token_hash or (lambda w: F.xxhash64(w))
     tokens = F.transform(
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text))),
                                  r"\s+", " "), " "),
-        lambda w: F.xxhash64(w))
+        hash_fn)
     return df.select(F.col(id_col), _simhash(tokens).alias("simhash"))
+
+
+def md5_token_hash60(w: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5, as a long.
+
+    60 bits keep the value inside int64; simhash bits 60–63 then always
+    vote negative (deterministically 0) on BOTH engines. md5 exists in
+    Spark and DuckDB alike, so signatures built with this hash are
+    bit-reproducible in plain SQL (used by the driver gate's simhash
+    oracle; xxhash64 stays the default for throughput)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
 
 def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
