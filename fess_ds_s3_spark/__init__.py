@@ -21,7 +21,10 @@ Everything row-level is DataFrame ops + Arrow-vectorized pandas UDFs — no
 per-row Python in the hot path.
 """
 
-from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.config import ConfigError, CrawlConfig
+from fess_ds_s3_spark.session import (build_session, open_client,
+                                      validate_client_params)
 
-__all__ = ["CrawlConfig"]
-__version__ = "0.1.0"
+__all__ = ["CrawlConfig", "ConfigError", "build_session", "open_client",
+           "validate_client_params"]
+__version__ = "0.2.0"
