@@ -27,9 +27,10 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--hosts", type=int, default=500)
     parser.add_argument("--budget", type=int, default=100)
-    # max_keys is the per-round admission page size (reference pagination
-    # analog); size it to rows so the default run drains in --rounds rounds
-    parser.add_argument("--max-keys", type=int, default=None)
+    # optional per-round admission cap (engine knob; default None = admit
+    # everything budgets allow and loop rounds until the frontier drains,
+    # outcome-equivalent to the reference's page-to-exhaustion loop)
+    parser.add_argument("--per-round-cap", type=int, default=None)
     parser.add_argument("--warehouse", default="/tmp/crawl-wh")
     args = parser.parse_args()
 
@@ -37,9 +38,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     cfg = CrawlConfig(region="us-east-1",
                       default_host_budget=args.budget,
-                      max_keys=args.max_keys or max(args.rows, 1000),
                       bloom_expected=max(args.rows // 64, 1000))
-    driver = CrawlDriver(spark, args.warehouse, cfg)
+    driver = CrawlDriver(spark, args.warehouse, cfg,
+                         per_round_cap=args.per_round_cap)
     if driver.last_round() < 0:
         driver.seed(synth_frontier(spark, args.rows, n_hosts=args.hosts))
     summaries = driver.run(args.rounds)

@@ -138,7 +138,6 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", *,
     """Band the signatures and emit candidate pairs (a < b) from shared
     buckets. ``max_bucket`` caps degenerate buckets (boilerplate) — capped
     buckets are logged by the caller, not silently ideal."""
-    rows_per_band = None  # derived from signature length at runtime
     sig_len = F.size("signature")
     rows_col = (sig_len / bands).cast("int")
     banded = (

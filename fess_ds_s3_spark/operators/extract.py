@@ -206,10 +206,17 @@ def links_from_spans(spans: Column | str = "spans") -> Column:
 def extract_links(stored_docs: DataFrame,
                   spans: str = "spans") -> DataFrame:
     """Explode stored docs' media refs into candidate frontier URLs:
-    (url, source_doc, offset_rank)."""
+    (url, source_doc, link_pos[, parent_priority]).
+
+    ``parent_priority`` is carried when the stored rows have a ``priority``
+    column, so discovered links can be scheduled AFTER their parents
+    (priority = parent + 1, plans/crawl._frontier_candidates)."""
+    carry = ([F.col("priority").alias("parent_priority")]
+             if "priority" in stored_docs.columns else [])
     return (
         stored_docs
-        .select(F.col("doc_id"),
+        .select(F.col("doc_id"), *carry,
                 F.posexplode(links_from_spans(spans)).alias("link_pos", "url"))
-        .select("url", F.col("doc_id").alias("source_doc"), "link_pos")
+        .select("url", F.col("doc_id").alias("source_doc"), "link_pos",
+                *(["parent_priority"] if carry else []))
     )

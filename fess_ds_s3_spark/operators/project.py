@@ -113,7 +113,7 @@ def build_object_map(df: DataFrame, cfg: CrawlConfig, *,
     passthrough = [c for c in ("doc_id", "spans", "contents", "status",
                                "discard_reason", "error_name",
                                "error_message", "host", "canonical_url",
-                               "url_hash", "round", "host_rank")
+                               "url_hash", "round", "host_rank", "priority")
                    if c in df.columns]
     return df.select(*[expr.alias(name) for name, expr in cols.items()],
                      *passthrough)

@@ -219,6 +219,25 @@ def apply_robots_filter(df: DataFrame, rules: DataFrame, cfg: CrawlConfig,
             .drop("host_rules"))
 
 
+def merge_host_budgets(a: DataFrame | None,
+                       b: DataFrame | None) -> DataFrame | None:
+    """Combine two per-host budget dims: full-outer join on host, budget =
+    least of the two (politeness must respect BOTH constraints — e.g. a
+    caller-provided budget AND a robots Crawl-delay-derived one). Either
+    side may be None."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    left = a.select("host", F.col("budget_per_round").alias("_ba"))
+    right = b.select("host", F.col("budget_per_round").alias("_bb"))
+    return (left.join(right, on="host", how="full_outer")
+            # F.least skips nulls, so a host present on one side only
+            # keeps that side's budget
+            .select("host",
+                    F.least("_ba", "_bb").alias("budget_per_round")))
+
+
 def crawl_delay_budgets(rules: DataFrame, cfg: CrawlConfig,
                         round_seconds: float = 60.0) -> DataFrame:
     """Derive per-host politeness budgets from Crawl-delay rules:

@@ -135,19 +135,34 @@ def build_bloom(df: DataFrame, cfg: CrawlConfig,
 
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
-    """OR-merge two bloom blob tables (same m/k) partition-wise."""
+    """OR-merge two bloom blob tables (same m/k) partition-wise.
+
+    Raises if the rows being merged for one partition disagree on
+    ``m_bits`` OR ``k_hashes``: an OR of bitsets built with different hash
+    counts is NOT a bloom filter of their union — probing it with either k
+    yields false negatives, re-admitting previously-seen URLs (the exact
+    invariant the merge exists to protect)."""
     def _merge(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         frames = [x for x in (left, right) if len(x)]
         first = frames[0]
+        m0 = int(first["m_bits"].iloc[0])
+        k0 = int(first["k_hashes"].iloc[0])
         bits = np.zeros(len(first["bits"].iloc[0]), dtype=np.uint8)
         for frame in frames:
-            for blob in frame["bits"]:
+            for blob, m, k in zip(frame["bits"], frame["m_bits"],
+                                  frame["k_hashes"]):
+                if int(m) != m0 or int(k) != k0:
+                    raise ValueError(
+                        f"bloom part {int(first['part_id'].iloc[0])}: blob "
+                        f"rows disagree on (m_bits, k_hashes): "
+                        f"({m0}, {k0}) vs ({int(m)}, {int(k)}) — "
+                        "cannot OR-merge filters with different parameters")
                 bits |= np.frombuffer(blob, dtype=np.uint8)
         return pd.DataFrame({
             "part_id": [int(first["part_id"].iloc[0])],
             "bits": [bits.tobytes()],
-            "m_bits": [int(first["m_bits"].iloc[0])],
-            "k_hashes": [int(first["k_hashes"].iloc[0])],
+            "m_bits": [m0],
+            "k_hashes": [k0],
         })
 
     return (a.groupBy("part_id").cogroup(b.groupBy("part_id"))
@@ -178,9 +193,13 @@ def bloom_maybe_seen_broadcast(frontier: DataFrame, blobs: list,
         bits = np.frombuffer(r["bits"], dtype=np.uint8)
         if pid in blob_map:
             prev = blob_map[pid]
-            if len(prev[0]) != len(bits):
+            if (len(prev[0]) != len(bits)
+                    or prev[1] != int(r["m_bits"])
+                    or prev[2] != int(r["k_hashes"])):
                 raise ValueError(
-                    f"bloom part {pid}: blob rows disagree on m_bits")
+                    f"bloom part {pid}: blob rows disagree on "
+                    "(m_bits, k_hashes) — cannot OR-merge filters with "
+                    "different parameters")
             bits = prev[0] | bits
         blob_map[pid] = (bits, int(r["m_bits"]), int(r["k_hashes"]))
     bc = spark.sparkContext.broadcast(blob_map)
@@ -232,14 +251,17 @@ def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
             out[flag] = False
             return out
         # OR-merge every blob row for this partition (see broadcast path)
-        bits = np.frombuffer(blobs["bits"].iloc[0], dtype=np.uint8)
-        for extra in blobs["bits"].iloc[1:]:
-            more = np.frombuffer(extra, dtype=np.uint8)
-            if len(more) != len(bits):
-                raise ValueError("bloom blob rows disagree on m_bits")
-            bits = bits | more
         m = int(blobs["m_bits"].iloc[0])
         k = int(blobs["k_hashes"].iloc[0])
+        bits = np.frombuffer(blobs["bits"].iloc[0], dtype=np.uint8)
+        for idx in range(1, len(blobs)):
+            more = np.frombuffer(blobs["bits"].iloc[idx], dtype=np.uint8)
+            if (len(more) != len(bits) or int(blobs["m_bits"].iloc[idx]) != m
+                    or int(blobs["k_hashes"].iloc[idx]) != k):
+                raise ValueError(
+                    "bloom blob rows disagree on (m_bits, k_hashes) — "
+                    "cannot OR-merge filters with different parameters")
+            bits = bits | more
         pos = _positions(rows["h1"].to_numpy(np.int64),
                          rows["h2"].to_numpy(np.int64), k, m)
         out = rows[carry].copy()
@@ -250,20 +272,31 @@ def bloom_maybe_seen(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
             .applyInPandas(_probe, out_schema))
 
 
+def bloom_size_bytes(cfg: CrawlConfig) -> int:
+    """Total blob payload for a full filter at this config (metadata-only)."""
+    m, _ = bloom_params(cfg.bloom_expected, cfg.bloom_fpp)
+    return cfg.seen_partitions * (m // 8)
+
+
 def maybe_seen_auto(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
                     url: str = "canonical_url",
-                    flag: str = "maybe_seen") -> DataFrame:
+                    flag: str = "maybe_seen",
+                    size_bytes: int | None = None) -> DataFrame:
     """Pick the probe strategy by filter size: collect+broadcast when the
     blob payload is ≤ BLOOM_BROADCAST_MAX_BYTES (shuffle-free, branch-safe),
-    else the cogrouped streaming probe. Size check uses blob metadata only
-    (m_bits), not the data."""
-    m_row = blooms.select("m_bits").first()
-    if m_row is not None:
-        n_parts = blooms.count()
-        total = n_parts * (int(m_row[0]) // 8)
-        if total <= BLOOM_BROADCAST_MAX_BYTES:
-            return bloom_maybe_seen_broadcast(frontier, blooms.collect(),
-                                              cfg, url, flag)
+    else the cogrouped streaming probe.
+
+    ``size_bytes``: known total blob payload. When the caller can supply it
+    (the crawl driver carries it in the ``seen_bloom`` snapshot metadata;
+    any caller can derive it from config via :func:`bloom_size_bytes`), the
+    strategy choice costs ZERO Spark jobs. When absent, it falls back to
+    ``cfg`` sizing (still job-free) — the per-round ``first()+count()``
+    probe this function used to run added fixed driver latency × n_rounds."""
+    if size_bytes is None:
+        size_bytes = bloom_size_bytes(cfg)
+    if size_bytes <= BLOOM_BROADCAST_MAX_BYTES:
+        return bloom_maybe_seen_broadcast(frontier, blooms.collect(),
+                                          cfg, url, flag)
     return bloom_maybe_seen(frontier, blooms, cfg, url, flag)
 
 
@@ -281,7 +314,8 @@ def anti_join_seen_exact(frontier: DataFrame, seen: DataFrame,
 
 def filter_unseen(frontier: DataFrame, seen_exact: DataFrame,
                   blooms: DataFrame | None, cfg: CrawlConfig,
-                  url: str = "canonical_url") -> DataFrame:
+                  url: str = "canonical_url",
+                  bloom_size_bytes: int | None = None) -> DataFrame:
     """Scale path: bloom pre-filter → exact confirm, union definite-new rows.
 
     Identical output to :func:`anti_join_seen_exact` (bloom has no false
@@ -297,7 +331,8 @@ def filter_unseen(frontier: DataFrame, seen_exact: DataFrame,
     """
     if blooms is None:
         return anti_join_seen_exact(frontier, seen_exact, url)
-    flagged = maybe_seen_auto(frontier, blooms, cfg, url)
+    flagged = maybe_seen_auto(frontier, blooms, cfg, url,
+                              size_bytes=bloom_size_bytes)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_confirm = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = anti_join_seen_exact(needs_confirm, seen_exact, url)

@@ -88,16 +88,42 @@ class RoundSummary:
 
 
 class CrawlDriver:
-    """Owns the table catalog and the round loop for one crawl."""
+    """Owns the table catalog and the round loop for one crawl.
+
+    ``per_round_cap``: optional global admission LIMIT per round (O2).
+    Default None — a round admits everything its politeness budgets allow,
+    and ``run()`` loops until the frontier drains, which is
+    outcome-equivalent to the reference (its ``max_keys`` is only a listing
+    page size and the crawl loops pages to exhaustion,
+    AmazonS3Client.java:139-147 — the engine consumes ``cfg.max_keys`` in
+    exactly that role in ``sources.object_store.list_objects_df``). Setting
+    a cap is an explicit engine-only knob for bounding round size; with a
+    finite ``n_rounds`` it can leave frontier URLs uncrawled.
+
+    ``object_store_root``: fetched-mode crawls GET content through the
+    production fetch stage (``sources.object_store.fetch_objects``) against
+    this store instead of a pre-fetched ``payloads`` table.
+
+    ``robots_round_seconds``: the wall-clock a scheduling round represents
+    when converting robots ``Crawl-delay`` into per-round budgets
+    (budget = round_seconds / delay).
+    """
 
     def __init__(self, spark: SparkSession, warehouse: str, cfg: CrawlConfig,
                  *, use_bloom: bool = True, use_salting: bool = True,
-                 encode_urls: bool = True):
+                 encode_urls: bool = True, per_round_cap: int | None = None,
+                 object_store_root: str | None = None,
+                 robots_round_seconds: float = 60.0):
+        if per_round_cap is not None and per_round_cap <= 0:
+            raise ValueError("per_round_cap must be positive or None")
         self.spark = spark
         self.cfg = cfg
         self.use_bloom = use_bloom
         self.use_salting = use_salting
         self.encode_urls = encode_urls
+        self.per_round_cap = per_round_cap
+        self.object_store_root = object_store_root
+        self.robots_round_seconds = robots_round_seconds
         self.catalog = Catalog(spark, warehouse)
         self.frontier = self.catalog.table("frontier")
         self.seen = self.catalog.table("seen")
@@ -107,6 +133,7 @@ class CrawlDriver:
         self.stats = self.catalog.table("stats")
         self.lineage = self.catalog.table("lineage")
         self.rounds = self.catalog.table("rounds")
+        self.robots = self.catalog.table("robots")
 
     # ----- state ------------------------------------------------------------
 
@@ -129,32 +156,85 @@ class CrawlDriver:
                                         encode_urls=self.encode_urls),
             {"kind": "seed"})
 
-    def _ledgered_snapshots(self, snap_col: str) -> list[int]:
-        """Snapshot ids recorded in the committed rounds ledger."""
+    def install_robots(self, robots_bodies: DataFrame) -> int:
+        """Install fetched robots.txt bodies ``(host, body)`` — the data
+        the F6 operator and Crawl-delay budgets are derived from each round
+        when ``cfg.respect_robots`` is set. Overwrite semantics: the table
+        always holds the latest full fetch (robots files supersede, they
+        don't accumulate)."""
+        return self.robots.overwrite(robots_bodies.select("host", "body"),
+                                     {"kind": "robots"})
+
+    def _robots_rules(self) -> DataFrame:
+        """Rules dim for this crawl; fail fast when ``respect_robots`` is
+        set but no bodies were installed — the knob must never silently do
+        nothing (the X5 parsed-but-unused anti-pattern, SURVEY.md §2.12)."""
+        from fess_ds_s3_spark.operators import robots as robots_ops
+        if not self.robots.exists():
+            raise ValueError(
+                "respect_robots=true but no robots bodies installed — call "
+                "CrawlDriver.install_robots(bodies_df) with (host, body) "
+                "rows first (an empty DataFrame is valid: no rules = "
+                "everything allowed)")
+        return robots_ops.robots_rules_table(self.robots.read())
+
+    def _ledgered(self, snap_col: str) -> tuple[list[int], list[int]]:
+        """(snapshot ids, legacy round ids) from the committed ledger.
+
+        Legacy rounds are ledger rows without a per-sink snapshot id —
+        written by engines before the per-sink ledger columns existed
+        (≤ 0.1.x); their sink rows are only reachable through the
+        cumulative table."""
         if not self.rounds.exists():
-            return []
+            return [], []
         ledger = self.rounds.read()
-        if snap_col not in ledger.columns:
-            return []
-        return sorted(r[0] for r in ledger.select(snap_col).collect()
-                      if r[0] is not None)
+        if snap_col in ledger.columns:
+            rows = ledger.select("round", snap_col).collect()
+        else:
+            rows = [(r[0], None) for r in ledger.select("round").collect()]
+        ids = sorted(r[1] for r in rows if r[1] is not None)
+        legacy_rounds = sorted(r[0] for r in rows if r[1] is None)
+        return ids, legacy_rounds
+
+    def _committed(self, table, snap_col: str) -> DataFrame | None:
+        """Committed rows of one sink: the ledgered snapshot deltas, plus a
+        legacy-compat path for rounds committed by a pre-snapshot-column
+        engine (ADVICE r2): those rounds fall back to the old
+        ``round <= last committed`` read over the cumulative table, so an
+        upgrade never makes previously committed rows invisible."""
+        ids, legacy_rounds = self._ledgered(snap_col)
+        parts = []
+        if ids:
+            parts.append(table.read_deltas(ids))
+        if legacy_rounds and table.exists():
+            legacy = table.read()
+            if "round" in legacy.columns:
+                legacy = legacy.filter(F.col("round").isin(legacy_rounds))
+            parts.append(legacy)
+        if not parts:
+            return None
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra, allowMissingColumns=True)
+        return out
 
     def committed_seen(self) -> DataFrame:
         """Seen rows from ledger-committed snapshots only (crash-replay
         safety: orphan appends never become visible)."""
-        ids = self._ledgered_snapshots("seen_snapshot")
-        if not ids:
+        out = self._committed(self.seen, "seen_snapshot")
+        if out is None:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        return self.seen.read_deltas(ids)
+        return out
 
     def read_committed(self, table_name: str) -> DataFrame:
         """User-facing read of a sink table: union of exactly the snapshot
         deltas recorded in the rounds ledger (never the cumulative current
-        snapshot, which may contain orphan appends from crashed rounds)."""
+        snapshot, which may contain orphan appends from crashed rounds),
+        with a legacy fallback for pre-0.2 ledger rows (see _committed)."""
         table = self.catalog.table(table_name)
-        ids = self._ledgered_snapshots(f"{table_name}_snapshot")
-        if ids:
-            return table.read_deltas(ids)
+        out = self._committed(table, f"{table_name}_snapshot")
+        if out is not None:
+            return out
         # no committed snapshots yet: empty frame with the table's schema
         return table.read().limit(0)
 
@@ -180,18 +260,39 @@ class CrawlDriver:
             frontier_df = frontier_df.filter(
                 F.coalesce(F.col("round"), F.lit(0)) <= F.lit(round_id))
         seen_df = self.committed_seen()
-        blooms = (self.seen_bloom.read() if
-                  (self.use_bloom and self.seen_bloom.exists()) else None)
+        blooms, bloom_size = None, None
+        if self.use_bloom and self.seen_bloom.exists():
+            blooms = self.seen_bloom.read()
+            # blob payload size rides in the snapshot metadata so the
+            # broadcast-vs-cogroup probe choice costs zero Spark jobs
+            # (r2 ran first()+count() here every round)
+            meta = self.seen_bloom.metadata()
+            bloom_size = meta.get("size_bytes")
+
+        robots_rules = None
+        if cfg.respect_robots:
+            from fess_ds_s3_spark.operators import robots as robots_ops
+            # F6: disallow rules route admitted rows to E1 discards inside
+            # process(); Crawl-delay rules tighten the per-host politeness
+            # budgets (least-of when the caller also passed budgets)
+            robots_rules = self._robots_rules()
+            host_budgets = robots_ops.merge_host_budgets(
+                host_budgets,
+                robots_ops.crawl_delay_budgets(
+                    robots_rules, cfg,
+                    round_seconds=self.robots_round_seconds))
 
         result = round_plan.run_round(
             frontier_df, cfg, payloads=payloads,
+            object_store_root=self.object_store_root,
             seen_exact=seen_df.select("canonical_url"),
             blooms=blooms, host_budgets=host_budgets,
+            robots_rules=robots_rules,
             use_salting=self.use_salting, encode_urls=self.encode_urls,
-            # O2: max_keys = the per-round page size (reference pagination
-            # analog, AmazonS3Client.java:137-148) — each round admits at
-            # most max_keys URLs; the rest waits for the next round.
-            global_cap=cfg.max_keys)
+            # O2: optional per-round admission cap (engine knob; None =
+            # admit everything budgets allow, reference-outcome-equivalent)
+            global_cap=self.per_round_cap,
+            bloom_size_bytes=bloom_size)
 
         observed, obs = lineage_ops.observe_round(result.processed)
         # Cache the small admitted batch: it feeds 5 writes below.
@@ -223,25 +324,37 @@ class CrawlDriver:
             new_bloom = seen_ops.build_bloom(result.seen_delta, cfg)
             merged = (seen_ops.merge_blooms(blooms, new_bloom)
                       if blooms is not None else new_bloom)
-            self.seen_bloom.overwrite(merged, {"round": round_id})
+            self.seen_bloom.overwrite(
+                merged,
+                {"round": round_id,
+                 # metadata-only sizing for next round's probe choice —
+                 # the merge validates every blob shares these parameters
+                 "size_bytes": seen_ops.bloom_size_bytes(cfg)})
 
         # 5. link extraction → next-round frontier candidates
         new_links = 0
         if docs is not None:
+            from pyspark.sql import Observation
             # join stored rows to their span payloads: by doc_id when the
             # docs table carries one, else by url
             join_key = "doc_id" if ("doc_id" in docs.columns
                                     and "doc_id" in processed.columns) else "url"
+            sel = [join_key] + (["priority"]
+                                if "priority" in processed.columns else [])
             stored_docs = (processed.filter(F.col("status") == "stored")
-                           .select(join_key).join(docs, join_key))
+                           .select(*sel).join(docs, join_key))
             if "doc_id" not in stored_docs.columns:
                 stored_docs = stored_docs.withColumn("doc_id", F.col("url"))
             links = extract_links(stored_docs)
             candidates = self._frontier_candidates(links, round_id + 1)
-            new_links = candidates.count()
-            if new_links:
-                self.frontier.append(candidates, {"round": round_id + 1,
-                                                  "kind": "links"})
+            # count rides the append as an observation — no extra Spark job
+            # recomputing link extraction (r2 ran candidates.count() here)
+            obs_links = Observation()
+            candidates = candidates.observe(
+                obs_links, F.count(F.lit(1)).alias("n"))
+            self.frontier.append(candidates, {"round": round_id + 1,
+                                              "kind": "links"})
+            new_links = int(obs_links.get["n"])
         frontier_snap = self.frontier.current_snapshot_id()
 
         # 6. round ledger — THE commit point
@@ -267,8 +380,15 @@ class CrawlDriver:
                              round_id: int) -> DataFrame:
         """Shape link-extracted URLs as frontier rows (canonicalized at
         ingestion, like seed()). The seen-set (next round) handles
-        duplicates; priority = 1 (below seeds' 0)."""
+        duplicates; priority = parent priority + 1 so discovered links
+        always schedule AFTER their parents' tier (seeds default to
+        priority 0 → first-generation links 1, their links 2, …). A link
+        discovered by several parents keeps the min via in-batch dedup
+        (priority leads the rank columns)."""
         from fess_ds_s3_spark.functions.urls import canonicalize_url
+        parent = (F.col("parent_priority")
+                  if "parent_priority" in links.columns
+                  else F.lit(0))
         return links.select(
             F.lit("_links").alias("bucket"),
             F.regexp_replace("url", "^https?://[^/]+/", "").alias("key"),
@@ -280,7 +400,7 @@ class CrawlDriver:
             F.lit(None).cast("string").alias("owner_id"),
             F.lit(None).cast("string").alias("owner_display_name"),
             F.lit("STANDARD").alias("storage_class"),
-            F.lit(1).alias("priority"),
+            (F.coalesce(parent, F.lit(0)) + 1).cast("int").alias("priority"),
             # deterministic discovery order: round sequence, not wall clock
             F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
             F.lit(round_id).alias("round"),

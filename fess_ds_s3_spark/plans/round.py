@@ -125,7 +125,8 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
              use_salting: bool = True,
              encode_urls: bool = True,
              narrow: bool = True,
-             global_cap: int | None = None) -> DataFrame:
+             global_cap: int | None = None,
+             bloom_size_bytes: int | None = None) -> DataFrame:
     """Scheduling half of the round: returns the admitted batch with
     ``host_rank`` (the within-host admission sequence).
 
@@ -156,7 +157,8 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
     # persist: caching wide string rows costs more than the recompute.
     df = dedup_in_batch(df)
     if seen_exact is not None:
-        df = seen_ops.filter_unseen(df, seen_exact, blooms, cfg)
+        df = seen_ops.filter_unseen(df, seen_exact, blooms, cfg,
+                                    bloom_size_bytes=bloom_size_bytes)
     if use_salting:
         # Hot hosts from the RAW frontier, not the filtered pipeline: a
         # narrow groupBy(host) with full column pruning (no UDF, no dedup
@@ -183,27 +185,50 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
 
 def process(admitted: DataFrame, cfg: CrawlConfig,
             payloads: DataFrame | None = None, *,
+            robots_rules: DataFrame | None = None,
+            object_store_root: str | None = None,
             encode_urls: bool = True) -> DataFrame:
     """Processing half: filter chain + fetch + extract + project. Returns
     the wide documents rows with status routing columns.
 
     Routing order for fetched rows mirrors the reference exactly:
-    urlFilter (E1) → getObject miss (E2) → MIME allowlist (E1,
-    AmazonS3DataStore.java:215-221) → max-size (E2, :223-226) → extract
+    urlFilter (E1) → robots (E1, when ``robots_rules`` is given — north-rule
+    addition, same discard routing as the urlFilter miss,
+    AmazonS3DataStore.java:203-210) → getObject miss (E2) → MIME allowlist
+    (E1, AmazonS3DataStore.java:215-221) → max-size (E2, :223-226) → extract
     (E3). In particular an object that is both MIME-unsupported and
     oversize is a *discard*, not a failure row — the reference checks
     contentType first. In listing-only mode (no payload table) there is no
     response type, so only the size guard applies.
+
+    Fetch source: ``payloads`` (a pre-fetched content table, joined on
+    (bucket, key)) or ``object_store_root`` (the production-shaped stage —
+    ``sources.object_store.fetch_objects`` issues batched GETs from inside
+    ``mapInPandas``). Exactly one may be given.
     """
+    if payloads is not None and object_store_root is not None:
+        raise ValueError("pass either payloads or object_store_root, not both")
     df = with_status_columns(admitted)
     df = apply_url_filter(df, cfg)
-    if payloads is not None:
-        df = fetch_payloads(df, payloads)
-        if cfg.number_of_threads > 1:
-            # X1 fan-out: the reference's fixedThreadPool(number_of_threads)
-            # parallelizes per-object fetch+extract; the analog is the
-            # partition width of the Python extraction stage. Only an
-            # explicit >1 overrides Spark's natural task parallelism.
+    if robots_rules is not None:
+        from fess_ds_s3_spark.operators.robots import apply_robots_filter
+        df = apply_robots_filter(df, robots_rules, cfg)
+    if payloads is not None or object_store_root is not None:
+        if payloads is not None:
+            df = fetch_payloads(df, payloads)
+        else:
+            from fess_ds_s3_spark.sources.object_store import fetch_objects
+            df = fetch_objects(df, object_store_root)
+        # X1 fan-out: the reference's fixedThreadPool(number_of_threads)
+        # parallelizes per-object fetch+extract; the analog is the partition
+        # width of the Python extraction stage. The knob is a FLOOR, not a
+        # cap: a reference-style small value (e.g. 4) must never force a
+        # full content-byte shuffle down to 4 partitions on a big cluster,
+        # so the repartition only fires when the requested width EXCEEDS the
+        # cluster's natural parallelism; otherwise the stage keeps its
+        # existing (≥ requested) partitioning and no shuffle is added.
+        natural = df.sparkSession.sparkContext.defaultParallelism
+        if cfg.number_of_threads > natural:
             df = df.repartition(cfg.number_of_threads)
         df = route_fetch_miss(df)
         df = apply_mimetype_filter(df, cfg)
@@ -227,16 +252,20 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
               seen_exact: DataFrame | None = None,
               blooms: DataFrame | None = None,
               host_budgets: DataFrame | None = None,
+              robots_rules: DataFrame | None = None,
+              object_store_root: str | None = None,
               use_salting: bool = True,
               encode_urls: bool = True,
-              global_cap: int | None = None) -> RoundResult:
+              global_cap: int | None = None,
+              bloom_size_bytes: int | None = None) -> RoundResult:
     """Full round. The admitted batch is the pivot: it is small (budget-
     bounded), so caching it avoids recomputing the scheduling shuffle for
     each of the three sink writes + the seen delta."""
     admitted = schedule(
         frontier, cfg, seen_exact=seen_exact, blooms=blooms,
         host_budgets=host_budgets, use_salting=use_salting,
-        encode_urls=encode_urls, narrow=True, global_cap=global_cap)
+        encode_urls=encode_urls, narrow=True, global_cap=global_cap,
+        bloom_size_bytes=bloom_size_bytes)
     # late materialization: join the wide frontier columns back onto the
     # (budget-bounded, small) admitted batch only. One row per url on the
     # right, chosen by min (priority, discovery_time, …) — the same winner
@@ -261,7 +290,9 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
                        .select("url", *[F.col(f"_w.{c}").alias(c)
                                         for c in wide_cols]))
         admitted = admitted.join(one_per_url, on="url", how="left")
-    processed = process(admitted, cfg, payloads, encode_urls=encode_urls)
+    processed = process(admitted, cfg, payloads, robots_rules=robots_rules,
+                        object_store_root=object_store_root,
+                        encode_urls=encode_urls)
     return RoundResult(
         admitted=admitted,
         processed=processed,

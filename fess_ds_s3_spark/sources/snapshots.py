@@ -141,7 +141,10 @@ class SnapshotTable:
         if snap is None or not snap.data_dirs:
             raise KeyError(f"{self.name}: table has no snapshots yet")
         paths = [os.path.join(self.root, d) for d in snap.data_dirs]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: deltas written by different engine versions may have
+        # gained columns; without it the schema comes from an arbitrary
+        # file and newer columns silently disappear
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_deltas(self, snapshot_ids: list[int]) -> DataFrame:
         """DataFrame over exactly the files ADDED by the given snapshots.
@@ -162,7 +165,7 @@ class SnapshotTable:
             dirs.append(by_id[sid].delta)
         if not dirs:
             raise KeyError(f"{self.name}: no snapshots requested")
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, d) for d in dirs])
 
     def read_or_empty(self, schema, snapshot_id: int | None = None) -> DataFrame:

@@ -81,7 +81,13 @@ def continuous_crawl(spark: SparkSession, frontier_stream: DataFrame,
 #: output schema of :func:`host_rate_state`
 HOST_RATE_SCHEMA = ("host string, window_start long, n_fetches long, "
                     "throttled boolean")
-_HOST_RATE_STATE_SCHEMA = "window_start long, n long"
+_HOST_RATE_STATE_SCHEMA = "win_starts array<long>, counts array<long>"
+
+#: windows retained in state per host — the operator's late-data horizon
+#: (events for windows older than the ``HOST_RATE_KEEP_WINDOWS`` most
+#: recent ones seen for that host restart their count, like a watermark
+#: would have dropped them); bounded so state stays O(1) per host
+HOST_RATE_KEEP_WINDOWS = 8
 
 
 def host_rate_state(fetch_stream: DataFrame, *,
@@ -92,40 +98,48 @@ def host_rate_state(fetch_stream: DataFrame, *,
     """Custom stateful streaming operator (X2-adjacent): per-host fetch-rate
     tracking via ``applyInPandasWithState``.
 
-    State per host = (current fixed window start, fetch count in it); each
-    micro-batch folds its events into the window counters and emits one row
-    per (host, window) touched, flagged ``throttled`` once the count exceeds
-    ``max_per_window`` — the streaming analog of the crawl-delay budget
-    (operators/robots.crawl_delay_budgets derives the same bound for batch
-    rounds). Windows are fixed epochs (``floor(event_time / w) * w``), so
-    output is invariant to micro-batch boundaries for counts, and the state
-    store carries only two longs per host — safe at millions of hosts.
+    State per host = the counts of the ``HOST_RATE_KEEP_WINDOWS`` most
+    recent fixed windows (epochs of ``floor(event_time / w) * w``); each
+    micro-batch folds its events into those counters and emits one row per
+    (host, window) touched, flagged ``throttled`` once a window's running
+    count exceeds ``max_per_window`` — the streaming analog of the
+    crawl-delay budget (operators/robots.crawl_delay_budgets derives the
+    same bound for batch rounds).
+
+    Counts are invariant to micro-batch boundaries INCLUDING out-of-order
+    delivery across batches: a late event for an earlier window still in
+    state increments that window's count (r2 kept only the latest window
+    and silently reset on any regression). The explicit horizon: events for
+    windows older than the retained set start a fresh count — the same
+    trade a watermark makes, with state bounded at ~2×8 longs per host.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     w = int(window_seconds)
+    keep = HOST_RATE_KEEP_WINDOWS
 
     def _update(key, pdfs, state: GroupState):
         (host_key,) = key
         if state.exists:
-            win_start, n = state.get
+            win_starts, counts_list = state.get
+            hist = dict(zip(win_starts, counts_list))
         else:
-            win_start, n = -1, 0
-        counts: dict[int, int] = {}
+            hist = {}
+        batch: dict[int, int] = {}
         for pdf in pdfs:
             secs = (pd.to_numeric(pdf[event_time]) // w * w).astype("int64")
             for ws_val, c in secs.value_counts().items():
-                counts[int(ws_val)] = counts.get(int(ws_val), 0) + int(c)
+                batch[int(ws_val)] = batch.get(int(ws_val), 0) + int(c)
         rows = []
-        for ws_val in sorted(counts):
-            if ws_val == win_start:
-                n += counts[ws_val]
-            else:
-                win_start, n = ws_val, counts[ws_val]
-            rows.append((host_key, win_start, n, n > max_per_window))
+        for ws_val in sorted(batch):
+            hist[ws_val] = hist.get(ws_val, 0) + batch[ws_val]
+            rows.append((host_key, ws_val, hist[ws_val],
+                         hist[ws_val] > max_per_window))
         if rows:
-            state.update((win_start, n))
+            recent = sorted(hist)[-keep:]
+            state.update(([int(x) for x in recent],
+                          [int(hist[x]) for x in recent]))
             yield pd.DataFrame(rows, columns=["host", "window_start",
                                               "n_fetches", "throttled"])
 

@@ -80,11 +80,15 @@ class TestMultiRoundOracle:
         got_seen = {r.canonical_url for r in driver.committed_seen().collect()}
         assert got_seen == expected.seen
 
-    def test_max_keys_caps_each_round_like_pagination(self, spark, tmp_path):
-        """O2: max_keys is the per-round page size — every round admits at
-        most max_keys URLs, the crawl still converges to the full frontier
-        (pagination invariance, AmazonS3ClientTest.java:187-201), and the
-        per-round partition matches the oracle with the same global cap."""
+    def test_per_round_cap_pages_like_pagination(self, spark, tmp_path):
+        """O2: the opt-in per_round_cap bounds every round's admissions yet
+        the crawl still converges to the full frontier (pagination
+        invariance, AmazonS3ClientTest.java:187-201), and the per-round
+        partition matches the oracle with the same global cap. (The cap is
+        a driver parameter, NOT cfg.max_keys: the reference's max_keys is
+        only a listing page size and its crawl loops pages to exhaustion —
+        the default uncapped driver is the outcome-equivalent mode, tested
+        by every other multiround case.)"""
         cfg = CrawlConfig(region="us-east-1", default_host_budget=50,
                           max_keys=13, max_size=15_000_000,
                           bloom_expected=10_000, seen_partitions=8)
@@ -96,16 +100,17 @@ class TestMultiRoundOracle:
             "discovery_time").collect()]
         oracle = OracleCrawler(cfg, None)
         expected = oracle.crawl_engine_order(rows, n_rounds=12,
-                                             global_cap=cfg.max_keys)
+                                             global_cap=13)
         exp_per_round: dict[int, set] = {}
         for rnd, _seq, url in expected.admissions:
             exp_per_round.setdefault(rnd, set()).add(url)
 
-        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             per_round_cap=13)
         driver.seed(frontier)
         summaries = driver.run(12)
         for s in summaries:
-            assert s.admitted <= cfg.max_keys
+            assert s.admitted <= 13
         indexed = driver.read_committed("indexed")
         failures = driver.read_committed("failures")
         for rnd in range(len(summaries)):

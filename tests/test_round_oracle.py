@@ -146,17 +146,28 @@ class TestReferenceFixture:
 
     def test_number_of_threads_sets_processing_fanout(self, spark, fixture):
         """X1: number_of_threads (the reference's fixedThreadPool size,
-        AmazonS3DataStore.java:150) is the processing-stage partition width
-        — a live knob, not dead config."""
+        AmazonS3DataStore.java:150) is the processing-stage partition FLOOR
+        — a live knob, not dead config, but never a cap: a value above the
+        cluster's natural parallelism widens the extraction stage; a small
+        reference-style value must NOT force a content shuffle down to it
+        (ADVICE r2)."""
         frontier, payloads = fixture
-        cfg = CrawlConfig.from_params(
-            {"region": REGION, "number_of_threads": "3"})
-        result = round_plan.run_round(frontier, cfg, payloads=payloads)
-        assert result.processed.rdd.getNumPartitions() == 3
-        # results unchanged vs default parallelism
         base = round_plan.run_round(frontier, CrawlConfig(region=REGION),
                                     payloads=payloads)
-        assert sorted(r.url for r in result.stored.collect()) == \
+        natural = spark.sparkContext.defaultParallelism  # local[4] → 4
+        wide_cfg = CrawlConfig.from_params(
+            {"region": REGION, "number_of_threads": str(natural * 2)})
+        wide = round_plan.run_round(frontier, wide_cfg, payloads=payloads)
+        assert wide.processed.rdd.getNumPartitions() == natural * 2
+        # below natural parallelism: no forced narrow repartition
+        small_cfg = CrawlConfig.from_params(
+            {"region": REGION, "number_of_threads": "2"})
+        small = round_plan.run_round(frontier, small_cfg, payloads=payloads)
+        assert small.processed.rdd.getNumPartitions() \
+            == base.processed.rdd.getNumPartitions()
+        # results unchanged either way
+        assert sorted(r.url for r in wide.stored.collect()) == \
+            sorted(r.url for r in small.stored.collect()) == \
             sorted(r.url for r in base.stored.collect())
 
     def test_bucket_subset(self, spark, fixture):
