@@ -155,3 +155,133 @@ class TestResume:
         assert len(seen) == len(set(seen))
         assert set(seen) == {r.canonical_url
                              for r in ctrl.committed_seen().collect()}
+
+
+class TestLedgerCompat:
+    def test_read_committed_legacy_ledger_fallback(self, spark, cfg,
+                                                   tmp_path):
+        """A rounds ledger written before the per-sink snapshot columns
+        (≤ 0.1.x) must still expose its committed rows: read_committed
+        falls back to the old round-filter read instead of returning
+        nothing (ADVICE r2)."""
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 60, n_hosts=4, seed=9))
+        driver.run(2)
+        expected_idx = sorted(
+            (r.url, r.round) for r in
+            driver.read_committed("indexed").select("url", "round").collect())
+        expected_seen = sorted(
+            r.canonical_url for r in driver.committed_seen().collect())
+        assert expected_idx and expected_seen
+
+        # simulate the legacy ledger: drop every per-sink snapshot column
+        legacy = driver.rounds.read().drop(
+            "indexed_snapshot", "failures_snapshot", "stats_snapshot",
+            "lineage_snapshot", "seen_snapshot")
+        driver.rounds.overwrite(legacy, {"kind": "legacy-sim"})
+
+        reopened = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        got_idx = sorted(
+            (r.url, r.round) for r in
+            reopened.read_committed("indexed")
+            .select("url", "round").collect())
+        got_seen = sorted(
+            r.canonical_url for r in reopened.committed_seen().collect())
+        assert got_idx == expected_idx
+        assert got_seen == expected_seen
+
+
+class TestLinkPriority:
+    def _docs_linking(self, spark, target_url):
+        return spark.createDataFrame(
+            [("d",)], "url string").crossJoin(
+            spark.createDataFrame([(target_url,)], "ref string")).select(
+            F.col("url"), F.col("url").alias("doc_id"),
+            F.array(F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("ref").alias("media_ref"),
+                F.lit(0).alias("offset"))).alias("spans")).drop("ref")
+
+    def test_candidates_get_parent_priority_plus_one(self, spark, cfg,
+                                                     tmp_path):
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        frontier = (synthetic.synth_frontier(spark, 10, n_hosts=2, seed=4)
+                    .withColumn("priority", F.lit(3)))
+        stored_url = frontier.select("url").first()[0]
+        docs = self._docs_linking(
+            spark, "https://linked.example.com/x.bin").withColumn(
+            "url", F.lit(stored_url)).withColumn("doc_id", F.lit(stored_url))
+        driver.seed(frontier)
+        driver.run_round(0, docs=docs)
+        cand = (driver.frontier.read()
+                .filter(F.col("bucket") == "_links").collect())
+        assert cand and all(r.priority == 4 for r in cand)
+
+    def test_links_schedule_after_same_host_seeds(self, spark, cfg,
+                                                  tmp_path):
+        """A discovered link on a busy host waits behind that host's
+        remaining seeds (priority = parent + 1 > seed priority)."""
+        host = "onehost.example.com"
+        rows = [("b0", f"k{i}", f"https://{host}/k{i}", host, 10,
+                 f"e{i}", synthetic.FIXTURE_EPOCH, None, None, "STANDARD",
+                 0, synthetic.FIXTURE_EPOCH, 0) for i in range(2)]
+        frontier = spark.createDataFrame(rows, synthetic.FRONTIER_SCHEMA)
+        cfg2 = CrawlConfig(region="us-east-1", default_host_budget=1,
+                           bloom_expected=1000, seen_partitions=4)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg2)
+        driver.seed(frontier)
+        link_url = f"https://{host}/a-key-sorting-first"
+        docs = self._docs_linking(spark, link_url).withColumn(
+            "url", F.lit(f"https://{host}/k0")).withColumn(
+            "doc_id", F.lit(f"https://{host}/k0"))
+        driver.run(3, docs=docs)
+        admitted_round = {
+            r.canonical_url: r.round
+            for r in driver.committed_seen().collect()}
+        # budget 1/round: k0 (round 0), k1 (round 1), then the link —
+        # despite its key sorting first, its priority 1 ranks after the
+        # seeds' priority 0
+        assert admitted_round[f"https://{host}/k0"] == 0
+        assert admitted_round[f"https://{host}/k1"] == 1
+        assert admitted_round[link_url] == 2
+
+
+class TestDriverActionDiet:
+    def test_run_round_issues_no_auxiliary_counts(self, spark, cfg,
+                                                  tmp_path, monkeypatch):
+        """run_round must not run count()/first() driver jobs beyond the
+        sink writes (r2 ran blooms.first()+count() and candidates.count()
+        every round — fixed driver latency × n_rounds). Ledger metadata
+        collects are exempt (tiny, unavoidable); count/first are the
+        recompute-shaped actions this guards against."""
+        from pyspark.sql import DataFrame
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        frontier = synthetic.synth_frontier(spark, 40, n_hosts=3, seed=6)
+        docs = (frontier.select("url")
+                .withColumn("doc_id", F.col("url"))
+                .withColumn("spans", F.array(F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.concat(F.lit("https://l.example.com/"),
+                             F.md5("url")).alias("media_ref"),
+                    F.lit(0).alias("offset")))))
+        driver.seed(frontier)
+        driver.run_round(0, docs=docs)  # warm: bloom table now exists
+
+        calls: list[str] = []
+        orig_count, orig_first = DataFrame.count, DataFrame.first
+
+        def _count(self):
+            calls.append("count")
+            return orig_count(self)
+
+        def _first(self):
+            calls.append("first")
+            return orig_first(self)
+
+        monkeypatch.setattr(DataFrame, "count", _count)
+        monkeypatch.setattr(DataFrame, "first", _first)
+        summary = driver.run_round(1, docs=docs)
+        assert calls == []
+        assert summary.admitted > 0

@@ -1,0 +1,215 @@
+"""Object-store source: paged listing (S3) + production fetch stage (S4).
+
+The store is the filesystem stand-in for S3; these tests drive the exact
+reference listing/fetch contracts through it:
+
+- keyset pagination by ``max_keys`` (AmazonS3Client.java:139-147) — pages
+  are ≤ max_keys and the concatenation of pages is the full ascending-key
+  listing regardless of page size (pagination invariance,
+  AmazonS3ClientTest.java:187-201);
+- getObject + NoSuchKey → E2 failure routing
+  (AmazonS3DataStore.java:279-284);
+- fetched-mode round through ``object_store_root`` ≡ the payload-table
+  join — same stored/discarded/failed partitions, same contents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.config import CrawlConfig
+from fess_ds_s3_spark.plans import round as round_plan
+from fess_ds_s3_spark.plans.crawl import CrawlDriver
+from fess_ds_s3_spark.sources.object_store import (FsObjectStore,
+                                                   NoSuchKeyError,
+                                                   fetch_objects,
+                                                   list_objects_df)
+
+REGION = "us-east-1"
+
+
+@pytest.fixture()
+def store(tmp_path):
+    st = FsObjectStore(str(tmp_path / "store"))
+    for b in ("fess-0", "fess-1"):
+        for i in range(5):
+            body = f"body-{b}-{i}".encode()
+            ctype = "text/plain" if i % 2 == 0 else "text/html"
+            st.put_object(b, f"files/doc-{i}.txt", body, content_type=ctype)
+    return st
+
+
+class TestFsObjectStore:
+    def test_get_roundtrip_and_content_type(self, store):
+        data, ctype = store.get_object("fess-0", "files/doc-0.txt")
+        assert data == b"body-fess-0-0" and ctype == "text/plain"
+
+    def test_missing_key_raises(self, store):
+        with pytest.raises(NoSuchKeyError):
+            store.get_object("fess-0", "files/nope.txt")
+
+    def test_default_content_type(self, tmp_path):
+        st = FsObjectStore(str(tmp_path / "s2"))
+        st.put_object("b", "k", b"x")  # no Content-Type on upload
+        assert st.get_object("b", "k")[1] == "application/octet-stream"
+
+    def test_listing_pages_by_max_keys(self, store):
+        entries, nxt = store.list_objects("fess-0", max_keys=2)
+        assert [e["key"] for e in entries] == ["files/doc-0.txt",
+                                               "files/doc-1.txt"]
+        assert nxt == "files/doc-1.txt"
+        entries2, nxt2 = store.list_objects("fess-0", start_after=nxt,
+                                            max_keys=2)
+        assert [e["key"] for e in entries2] == ["files/doc-2.txt",
+                                                "files/doc-3.txt"]
+        entries3, nxt3 = store.list_objects("fess-0", start_after=nxt2,
+                                            max_keys=2)
+        assert [e["key"] for e in entries3] == ["files/doc-4.txt"]
+        assert nxt3 is None  # exhausted
+
+    def test_sidecars_invisible_and_metadata(self, store):
+        entries, _ = store.list_objects("fess-1", max_keys=1000)
+        assert len(entries) == 5
+        assert all(not e["key"].endswith(".json") for e in entries)
+        assert entries[0]["size"] == len(b"body-fess-1-0")
+        import hashlib
+        assert entries[0]["etag"] == hashlib.md5(b"body-fess-1-0").hexdigest()
+
+    def test_prefix_filter(self, store):
+        store.put_object("fess-0", "other/x.bin", b"zz")
+        entries, _ = store.list_objects("fess-0", prefix="files/",
+                                        max_keys=1000)
+        assert len(entries) == 5
+
+
+class TestListingDF:
+    def test_pagination_invariance(self, spark, store):
+        """max_keys is LIVE (drives the page loop) but invisible in the
+        final listing — tiny pages and one huge page produce identical
+        DataFrames (the reference's pagination test semantics)."""
+        small = list_objects_df(
+            spark, store.root, CrawlConfig(region=REGION, max_keys=2))
+        big = list_objects_df(
+            spark, store.root, CrawlConfig(region=REGION, max_keys=1000))
+        cols = ["bucket", "key", "size", "etag"]
+        assert sorted(map(tuple, small.select(*cols).collect())) == \
+            sorted(map(tuple, big.select(*cols).collect()))
+        assert small.count() == 10
+
+    def test_bucket_membership_filter(self, spark, store):
+        cfg = CrawlConfig(region=REGION, buckets=("fess-1",))
+        out = list_objects_df(spark, store.root, cfg)
+        assert {r.bucket for r in out.collect()} == {"fess-1"}
+
+    def test_prefix_shards(self, spark, store):
+        cfg = CrawlConfig(region=REGION, max_keys=3)
+        out = list_objects_df(spark, store.root, cfg,
+                              prefixes=["files/doc-0", "files/doc-1",
+                                        "files/doc-2", "files/doc-3",
+                                        "files/doc-4"])
+        assert out.count() == 10  # shards partition the keyspace exactly
+
+
+def _frontier_from_listing(listing):
+    return (listing
+            .withColumn("priority", F.lit(0))
+            .withColumn("discovery_time", F.to_timestamp(F.lit("2020-01-01")))
+            .withColumn("round", F.lit(0)))
+
+
+class TestFetchStage:
+    def test_fetch_contract_and_miss_routing(self, spark, store):
+        """fetch_objects matches the fetch_payloads output contract; a
+        missing key routes to E2 failed(NoSuchKeyException)."""
+        from fess_ds_s3_spark.operators.extract import route_fetch_miss
+        from fess_ds_s3_spark.operators.filters import with_status_columns
+        cfg = CrawlConfig(region=REGION)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        ghost = frontier.limit(1).withColumn(
+            "key", F.lit("files/ghost.txt"))
+        admitted = round_plan.prepare_frontier(
+            frontier.unionByName(ghost), cfg)
+        fetched = fetch_objects(with_status_columns(admitted), store.root)
+        routed = route_fetch_miss(fetched)
+        rows = {(r.bucket, r.key): r for r in routed.collect()}
+        ok = rows[("fess-0", "files/doc-0.txt")]
+        assert bytes(ok.content) == b"body-fess-0-0"
+        assert ok.resp_content_type == "text/plain"
+        assert ok.status == "pending"
+        miss = rows[(ghost.first().bucket, "files/ghost.txt")]
+        assert miss.content is None
+        assert miss.status == "failed"
+        assert miss.error_name == "NoSuchKeyException"
+
+    def test_round_store_mode_equals_payload_mode(self, spark, store):
+        """One full round through object_store_root ≡ through a payload
+        table built from the same store (status partitions, contents,
+        sniffed mimetype)."""
+        cfg = CrawlConfig(region=REGION,
+                          supported_mimetypes=("text/plain",))
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+
+        payload_rows = []
+        for b in store.buckets():
+            entries, _ = store.list_objects(b, max_keys=1000)
+            for e in entries:
+                data, ctype = store.get_object(b, e["key"])
+                payload_rows.append((b, e["key"], data, ctype))
+        payloads = spark.createDataFrame(
+            payload_rows,
+            "bucket string, key string, content binary, "
+            "resp_content_type string")
+
+        via_store = round_plan.run_round(frontier, cfg,
+                                         object_store_root=store.root)
+        via_table = round_plan.run_round(frontier, cfg, payloads=payloads)
+
+        def snap(result):
+            return sorted(
+                (r.url, r.status, r.discard_reason, r.error_name,
+                 r.contents, r.mimetype)
+                for r in result.processed.select(
+                    "url", "status", "discard_reason", "error_name",
+                    "contents", "mimetype").collect())
+
+        assert snap(via_store) == snap(via_table)
+        assert via_store.stored.count() == 6   # text/plain i ∈ {0,2,4} × 2
+        assert via_store.discarded.count() == 4  # text/html MIME discards
+
+    def test_driver_multiround_store_mode_equals_payload_mode(
+            self, spark, store, tmp_path):
+        """CrawlDriver fetched-mode crawl through the production fetch
+        stage commits the same sinks as the payload-table mode."""
+        cfg = CrawlConfig(region=REGION, default_host_budget=3,
+                          bloom_expected=10_000, seen_partitions=4)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        payload_rows = []
+        for b in store.buckets():
+            entries, _ = store.list_objects(b, max_keys=1000)
+            for e in entries:
+                data, ctype = store.get_object(b, e["key"])
+                payload_rows.append((b, e["key"], data, ctype))
+        payloads = spark.createDataFrame(
+            payload_rows,
+            "bucket string, key string, content binary, "
+            "resp_content_type string")
+
+        d_store = CrawlDriver(spark, str(tmp_path / "ws"), cfg,
+                              object_store_root=store.root)
+        d_store.seed(frontier)
+        s_store = d_store.run(3)
+
+        d_table = CrawlDriver(spark, str(tmp_path / "wt"), cfg)
+        d_table.seed(frontier)
+        s_table = d_table.run(3, payloads=payloads)
+
+        assert [(s.admitted, s.stored, s.failed) for s in s_store] == \
+            [(s.admitted, s.stored, s.failed) for s in s_table]
+        get = lambda d: sorted(
+            (r.url, r.contents) for r in
+            d.read_committed("indexed").select("url", "contents").collect())
+        assert get(d_store) == get(d_table)

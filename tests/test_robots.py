@@ -124,3 +124,99 @@ class TestDataFrameOps:
         rows = {r.host: r for r in budgets.collect()}
         assert rows["a.com"].budget_per_round == 30
         assert rows["a.com"].crawl_delay_ms == 2000
+
+
+class TestRoundIntegration:
+    """F6 wired into the actual crawl pipeline (round-2 verdict item #1):
+    respect_robots must route E1 discards inside process() and tighten the
+    politeness budgets via Crawl-delay — a live knob end to end."""
+
+    @pytest.fixture()
+    def rules_df(self, spark):
+        bodies = spark.createDataFrame(
+            [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+            "host string, body string")
+        return robots.robots_rules_table(bodies)
+
+    def test_process_routes_robots_discards(self, spark, rules_df):
+        from fess_ds_s3_spark.plans import round as round_plan
+        cfg = CrawlConfig(region="r")
+        frontier = spark.createDataFrame(
+            [("b0", "internal/doc", "a.com", "https://a.com/internal/doc",
+              10, 0),
+             ("b0", "public/doc", "a.com", "https://a.com/public/doc",
+              10, 0),
+             ("b0", "whatever", "c.com", "https://c.com/whatever", 10, 0)],
+            "bucket string, key string, host string, url string, "
+            "size long, priority int") \
+            .withColumn("discovery_time", F.to_timestamp(F.lit("2020-01-01")))
+        result = round_plan.run_round(frontier, cfg, robots_rules=rules_df)
+        got = {r.url: (r.status, r.discard_reason)
+               for r in result.processed.select(
+                   "url", "status", "discard_reason").collect()}
+        assert got["https://a.com/internal/doc"] == ("discarded", "robots")
+        assert got["https://a.com/public/doc"][0] == "stored"
+        assert got["https://c.com/whatever"][0] == "stored"
+        assert result.discarded.count() == 1
+
+    def test_driver_respect_robots_live(self, spark, tmp_path):
+        """CrawlDriver with respect_robots=true: robots discards land in
+        the committed stats, Crawl-delay caps per-host admissions, and the
+        disallowed URLs are burned into the seen set (E1 semantics: a
+        discard is still consumed, AmazonS3DataStore.java:203-210)."""
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        from fess_ds_s3_spark.sources import synthetic
+        cfg = CrawlConfig(region="us-east-1", respect_robots=True,
+                          default_host_budget=100,
+                          bloom_expected=10_000, seen_partitions=4)
+        frontier = synthetic.synth_frontier(spark, 80, n_hosts=4, seed=11)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(frontier)
+        slow_host = "host-00000.example.com"
+        bodies = (frontier.select("host").distinct()
+                  .withColumn("body", F.when(
+                      F.col("host") == slow_host,
+                      F.lit("User-agent: *\nDisallow: /data/0\n"
+                            "Crawl-delay: 30\n"))
+                      .otherwise(F.lit("User-agent: *\nDisallow: /data/1\n"))))
+        driver.install_robots(bodies)
+        summary = driver.run_round(0)
+        # Crawl-delay 30s at 60s rounds → budget 2 for the slow host only
+        seen_hosts = (driver.committed_seen()
+                      .select(F.lower(F.parse_url(
+                          "canonical_url", F.lit("HOST"))).alias("h"))
+                      .groupBy("h").count().collect())
+        per_host = {r.h: r["count"] for r in seen_hosts}
+        assert per_host[slow_host] <= 2
+        assert any(n > 2 for h, n in per_host.items() if h != slow_host)
+        # robots discards exist and are E1 (seen, not retried): stats says
+        # discard, and a second round admits none of them again
+        assert summary.discarded > 0
+        driver.run_round(1)
+        # no URL admitted twice across rounds
+        dup = (driver.committed_seen().groupBy("canonical_url").count()
+               .filter(F.col("count") > 1).count())
+        assert dup == 0
+
+    def test_driver_fail_fast_without_bodies(self, spark, tmp_path):
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        from fess_ds_s3_spark.sources import synthetic
+        import pytest as _pytest
+        cfg = CrawlConfig(region="us-east-1", respect_robots=True,
+                          bloom_expected=1000, seen_partitions=4)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 10, n_hosts=2, seed=1))
+        with _pytest.raises(ValueError, match="install_robots"):
+            driver.run_round(0)
+
+    def test_merge_host_budgets_least_of(self, spark):
+        from fess_ds_s3_spark.operators.robots import merge_host_budgets
+        a = spark.createDataFrame([("x", 5), ("y", 2)],
+                                  "host string, budget_per_round int")
+        b = spark.createDataFrame([("x", 3), ("z", 7)],
+                                  "host string, budget_per_round int")
+        got = {r.host: r.budget_per_round
+               for r in merge_host_budgets(a, b).collect()}
+        assert got == {"x": 3, "y": 2, "z": 7}
+        assert merge_host_budgets(None, a) is a
+        assert merge_host_budgets(a, None) is a

@@ -125,3 +125,54 @@ class TestCuckoo:
         rest = _urls(spark, 200).subtract(urls.limit(50))
         probe_rest = seen_ops.cuckoo_maybe_seen(rest, updated, cfg)
         assert probe_rest.filter(~F.col("maybe_seen")).count() == 0
+
+
+class TestParameterMismatch:
+    """OR-merging blobs built with different (m_bits, k_hashes) would
+    produce false NEGATIVES (re-admitting seen URLs) — every merge/probe
+    path must refuse instead of silently keeping one side's parameters."""
+
+    def _mismatched(self, spark, cfg):
+        urls = _urls(spark, 200)
+        a = seen_ops.build_bloom(urls, cfg)
+        other = CrawlConfig(region="r", bloom_expected=500, bloom_fpp=0.05,
+                            seen_partitions=cfg.seen_partitions)
+        b = seen_ops.build_bloom(urls, other)
+        return a, b
+
+    def test_cogroup_merge_raises(self, spark, cfg):
+        a, b = self._mismatched(spark, cfg)
+        with pytest.raises(Exception, match="m_bits, k_hashes"):
+            seen_ops.merge_blooms(a, b).collect()
+
+    def test_broadcast_probe_raises(self, spark, cfg):
+        a, b = self._mismatched(spark, cfg)
+        blobs = a.collect() + b.collect()
+        with pytest.raises(ValueError, match="m_bits, k_hashes"):
+            seen_ops.bloom_maybe_seen_broadcast(_urls(spark, 10), blobs, cfg)
+
+    def test_cogroup_probe_raises(self, spark, cfg):
+        a, b = self._mismatched(spark, cfg)
+        with pytest.raises(Exception, match="m_bits, k_hashes"):
+            seen_ops.bloom_maybe_seen(_urls(spark, 10),
+                                      a.unionByName(b), cfg).collect()
+
+    def test_metadata_sizing_skips_driver_jobs(self, spark, cfg):
+        """maybe_seen_auto with a known size must not touch the blooms
+        DataFrame for sizing (first()/count() were per-round driver jobs
+        in r2) — only the collect() that feeds the broadcast itself."""
+        urls = _urls(spark, 100)
+        blooms = seen_ops.build_bloom(urls, cfg)
+        calls = []
+        orig_first, orig_count = type(blooms).first, type(blooms).count
+        try:
+            type(blooms).first = lambda self, *a, **k: calls.append("first")
+            type(blooms).count = lambda self, *a, **k: calls.append("count")
+            out = seen_ops.maybe_seen_auto(
+                urls, blooms, cfg,
+                size_bytes=seen_ops.bloom_size_bytes(cfg))
+        finally:
+            type(blooms).first = orig_first
+            type(blooms).count = orig_count
+        assert calls == []
+        assert out.filter(~F.col("maybe_seen")).count() == 0  # no false negs

@@ -108,3 +108,47 @@ class TestStreamingRounds:
                               driver, checkpoint_dir=ckpt)
         q2.awaitTermination(120)
         assert driver.read_committed("indexed").count() == n_after_first
+
+
+class TestOutOfOrderWindows:
+    def test_late_earlier_window_accumulates(self, spark, tmp_path):
+        """A late event for an EARLIER window (arriving after a newer
+        window opened) must increment that window's retained count and
+        must not clobber the current window's state (r2 kept only the
+        latest window and reset on any regression)."""
+        schema = "host string, event_time long"
+        src = str(tmp_path / "ooo")
+        ckpt = str(tmp_path / "ck")
+        spark.createDataFrame([("a", 70), ("a", 80)], schema
+                              ).write.parquet(src, mode="append")
+
+        def run(name):
+            from fess_ds_s3_spark.streaming.rounds import host_rate_state
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = host_rate_state(stream, window_seconds=60,
+                                  max_per_window=3)
+            res = str(tmp_path / f"out-{name}")
+            q = (out.writeStream.outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(lambda df, _bid:
+                               df.write.mode("append").parquet(res))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return {(r.host, r.window_start): r.n_fetches
+                    for r in spark.read.parquet(res).collect()}
+
+        rows = run("b1")
+        assert rows[("a", 60)] == 2
+
+        # batch 2: one LATE window-0 event + one more window-60 event
+        spark.createDataFrame([("a", 10), ("a", 90)], schema
+                              ).write.parquet(src, mode="append")
+        rows2 = run("b2")
+        assert rows2[("a", 0)] == 1    # late window counted on its own
+        assert rows2[("a", 60)] == 3   # current window NOT reset (2 + 1)
+
+        # batch 3: window 60 keeps accumulating from restored state
+        spark.createDataFrame([("a", 95)], schema
+                              ).write.parquet(src, mode="append")
+        rows3 = run("b3")
+        assert rows3[("a", 60)] == 4
