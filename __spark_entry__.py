@@ -227,6 +227,55 @@ def q_seen_bloom_antijoin(spark, sf_dir):
             .select(F.col("canonical_url").alias("url")))
 
 
+def q_seen_cuckoo_antijoin(spark, sf_dir):
+    """F5 deletable fallback — ORACLE-CHECKED: cuckoo pre-filter → exact
+    confirm (``filter_unseen_cuckoo``). Cuckoo filters have no false
+    negatives, so the output is DEFINED to equal the exact anti-join —
+    the same oracle as ``seen_antijoin`` checks the whole cuckoo path
+    (16-bit fingerprints, deterministic kick insertion, cogrouped probe).
+    Deletion semantics are pinned in tests/test_seen.py."""
+    cfg = CrawlConfig(region=REGION, bloom_expected=50_000,
+                      seen_partitions=8)
+    f = _frontier(spark, sf_dir).withColumnRenamed("url", "canonical_url")
+    seen = f.filter(F.col("doc_id") % 3 == 0).select("canonical_url")
+    blobs = seen_ops.build_cuckoo(seen, cfg)
+    return (seen_ops.filter_unseen_cuckoo(f, seen, blobs, cfg)
+            .select(F.col("canonical_url").alias("url")))
+
+
+def q_resize_plan(spark, sf_dir):
+    """Multimodal resize geometry — ORACLE-CHECKED: decode (stub kernel =
+    pure fn of sha256 bytes) → letterbox resize plan to 224×224 as pure
+    column math; DuckDB re-derives width/height from the same bytes and
+    replays the identical double-precision expressions."""
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("media_id"),
+        F.encode("text", "utf-8").alias("content"))
+    decoded = multimodal.decode_media(media)
+    plan = multimodal.resize_plan(decoded, target_w=224, target_h=224)
+    return plan.select("media_id", "width", "height", "scale",
+                       "new_width", "new_height", "pad_x", "pad_y")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan — ORACLE-CHECKED: deterministic duration
+    (n_chars × 40 ms) → evenly spaced sample timestamps at 1 fps as an
+    array<long>; DuckDB rebuilds the same list with generate_series."""
+    d = _docs(spark, sf_dir)
+    vids = d.select(
+        F.col("doc_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"))
+    plan = multimodal.frame_sample_plan(vids, fps_out=1.0)
+    return plan.select(
+        "doc_id", "duration_ms",
+        F.size("sample_points_ms").alias("n_frames"),
+        F.element_at("sample_points_ms", 1).alias("first_point"),
+        F.element_at("sample_points_ms", -1).alias("last_point"),
+        F.aggregate("sample_points_ms", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("points_sum"))
+
+
 def _store_root(sf_dir: str) -> str:
     import os
     base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -683,7 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom_antijoin": q_seen_bloom_antijoin,
+        "seen_cuckoo_antijoin": q_seen_cuckoo_antijoin,
         "fetch_store": q_fetch_store,
+        "resize_plan": q_resize_plan,
+        "frame_sample": q_frame_sample,
         "admission_round1": q_admission_round1,
         "status_counts": q_status_counts,
         "host_agg": q_host_agg,
@@ -817,14 +869,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM frontier s
               WHERE s.doc_id % 3 = 0 AND s.url = f.url)""",
-        # bloom pre-filter + exact confirm is output-identical to the plain
-        # exact anti-join (no false negatives) — same oracle, so the
-        # at-scale seen path is value-checked end-to-end
+        # bloom/cuckoo pre-filter + exact confirm is output-identical to the
+        # plain exact anti-join (no false negatives) — same oracle, so both
+        # at-scale seen paths are value-checked end-to-end
         "seen_bloom_antijoin": FRONTIER_CTE + """
             SELECT url FROM frontier f
             WHERE NOT EXISTS (
               SELECT 1 FROM frontier s
               WHERE s.doc_id % 3 = 0 AND s.url = f.url)""",
+        "seen_cuckoo_antijoin": FRONTIER_CTE + """
+            SELECT url FROM frontier f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM frontier s
+              WHERE s.doc_id % 3 = 0 AND s.url = f.url)""",
+        "resize_plan": """
+            WITH meta AS (
+              SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     -- stub decode kernel: width/height = bytes 0/1 of
+                     -- sha256(content), recomputed from the same utf-8 text
+                     CAST(16 + (('0x' || substr(sha256(text), 1, 2))::INT
+                                % 64) AS INT) AS width,
+                     CAST(16 + (('0x' || substr(sha256(text), 3, 2))::INT
+                                % 64) AS INT) AS height
+              FROM documents),
+            s AS (SELECT *, least(224.0 / width, 224.0 / height) AS sc
+                  FROM meta)
+            SELECT media_id, width, height,
+                   round(sc, 6) AS scale,
+                   CAST(floor(width * sc) AS INT) AS new_width,
+                   CAST(floor(height * sc) AS INT) AS new_height,
+                   CAST(floor((224 - floor(width * sc)) / 2.0) AS INT)
+                       AS pad_x,
+                   CAST(floor((224 - floor(height * sc)) / 2.0) AS INT)
+                       AS pad_y
+            FROM s""",
+        "frame_sample": """
+            WITH v AS (
+              SELECT doc_id,
+                     CAST(n_chars * 40 AS BIGINT) AS duration_ms
+              FROM documents),
+            p AS (
+              SELECT doc_id, duration_ms,
+                     CAST(greatest(1, floor(duration_ms / 1000.0 * 1.0))
+                          AS INT) AS nf
+              FROM v),
+            pts AS (
+              SELECT doc_id, duration_ms, nf,
+                     list_transform(
+                       generate_series(0, nf - 1),
+                       i -> CAST(floor(i * (duration_ms * 1.0 / nf)
+                                 + (duration_ms * 1.0 / nf) / 2)
+                            AS BIGINT)) AS lst
+              FROM p)
+            SELECT doc_id, duration_ms,
+                   nf AS n_frames,
+                   lst[1] AS first_point,
+                   lst[len(lst)] AS last_point,
+                   CAST(list_aggregate(lst, 'sum') AS BIGINT) AS points_sum
+            FROM pts""",
         "fetch_store": FRONTIER_CTE + """
             SELECT f.url,
                    CASE WHEN f.doc_id % 7 = 0 THEN 'stored'

@@ -21,13 +21,21 @@ memory-bandwidth ceiling around ~16 effective cores — see BENCH notes in
 BASELINE.md):
 - each rep runs in a FRESH subprocess JVM;
 - N-core and 4N-core reps are INTERLEAVED in time and the per-count minimum
-  is used (isolates engine scaling from environment drift);
-- inputs are pre-materialized parquet, page-cache warmed inside each rep;
+  across all timed samples is used (isolates engine scaling from
+  environment drift);
+- inside each rep the page cache is warmed by reading the input parquet
+  bytes outright (a parquet count() may touch only footers), the JVM is
+  warmed by one untimed run of the SAME pipeline over a 1/16-scale copy of
+  the input (pays JIT/codegen/Arrow/python-worker spin-up — ~35 s flat on
+  this box regardless of core count — without a full-scale pass), and then
+  TWO timed full-scale runs are taken (so each subprocess contributes 2
+  warm samples; REPS=3 ⇒ 6 samples per core count);
 - AQE is off for the scaling job (the round is a fixed pipeline whose skew
   is handled deterministically by salting; AQE's per-stage materialization
   serializes this query shape in local mode);
-- a pure-numpy CPU control at the same process counts is reported so the
-  machine's own scaling ceiling is visible next to the engine's number.
+- BLAS-pinned machine controls at the same process counts (cache-resident
+  matmul + 64 MB-streaming memory bandwidth) are reported so the box's own
+  scaling ceiling is visible next to the engine's number.
 
 Headline timings exclude one untimed warmup pass (session + JIT + Arrow +
 Python-worker pool spin-up at sf0.001) — the same best-of-warm methodology
@@ -36,8 +44,8 @@ startup.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_ROWS (default 32_000_000 — the BASELINE.md scale),
-SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_REPS (default 2),
-SPARK_GRAFT_SKIP_SCALING=1.
+SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_REPS (default 3 fresh-JVM
+reps × 2 timed runs each), SPARK_GRAFT_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
@@ -56,7 +64,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "32000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+RUNS_PER_REP = int(os.environ.get("SPARK_GRAFT_RUNS_PER_REP", "2"))
 BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
@@ -85,40 +94,72 @@ def _session(cores: int, *, aqe: bool = True,
 # ---------------------------------------------------------------------------
 
 def _gen_inputs() -> str:
-    """Materialize the deterministic frontier + seen set once (not timed)."""
+    """Materialize the deterministic frontier + seen set once (not timed):
+    the full-scale tables plus 1/16-scale warmup twins (same generator,
+    same schema → the warmup run compiles the identical plan/codegen)."""
     from pyspark.sql import functions as F
     from fess_ds_s3_spark.sources.synthetic import synth_frontier
     wh = f"{BENCH_DIR}/n{BENCH_ROWS}"
-    if os.path.exists(f"{wh}/_done"):
+    have_full = os.path.exists(f"{wh}/_done")
+    have_warm = os.path.isdir(f"{wh}/frontier_warm")
+    if have_full and have_warm:
         return wh
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    synth_frontier(spark, BENCH_ROWS, n_hosts=2000, n_buckets=200, seed=42,
-                   partitions=64).write.mode("overwrite").parquet(
-        f"{wh}/frontier")
-    (synth_frontier(spark, BENCH_ROWS // 10, n_hosts=2000, n_buckets=200,
-                    seed=42, partitions=64)
+    if not have_full:
+        synth_frontier(spark, BENCH_ROWS, n_hosts=2000, n_buckets=200,
+                       seed=42, partitions=64).write.mode(
+            "overwrite").parquet(f"{wh}/frontier")
+        (synth_frontier(spark, BENCH_ROWS // 10, n_hosts=2000, n_buckets=200,
+                        seed=42, partitions=64)
+         .select(F.col("url").alias("canonical_url"))
+         .write.mode("overwrite").parquet(f"{wh}/seen"))
+    synth_frontier(spark, BENCH_ROWS // 16, n_hosts=2000, n_buckets=200,
+                   seed=43, partitions=64).write.mode("overwrite").parquet(
+        f"{wh}/frontier_warm")
+    (synth_frontier(spark, BENCH_ROWS // 160, n_hosts=2000, n_buckets=200,
+                    seed=43, partitions=64)
      .select(F.col("url").alias("canonical_url"))
-     .write.mode("overwrite").parquet(f"{wh}/seen"))
+     .write.mode("overwrite").parquet(f"{wh}/seen_warm"))
     spark.stop()
     open(f"{wh}/_done", "w").write("ok")
     return wh
 
 
-def _scaling_rep(cores: int, wh: str) -> float:
-    """One timed schedule+dedup round; returns wall seconds.
+def _warm_page_cache(*dirs: str) -> None:
+    """Read every input byte outright — a parquet ``count()`` may satisfy
+    itself from row-group metadata and leave the data pages cold."""
+    buf = bytearray(1 << 20)
+    for d in dirs:
+        for base, _dirs, files in os.walk(d):
+            for name in files:
+                with open(os.path.join(base, name), "rb", buffering=0) as fh:
+                    while fh.readinto(buf):
+                        pass
+
+
+def _scaling_rep(cores: int, wh: str) -> list[float]:
+    """One fresh-JVM rep: warm cache + JIT, then RUNS_PER_REP timed
+    full-scale schedule+dedup rounds; returns their wall seconds.
 
     Shuffle partitions are FIXED (64) across core counts so both runs
     execute the identical physical plan and task decomposition — the only
     variable is executor-core count, which is what the N-vs-4N criterion
     measures (matching a real cluster, where partitioning is sized to the
     data, not to whichever cluster size happens to run the job).
+
+    JVM warmup runs the SAME pipeline over the 1/16-scale twin tables:
+    identical operators → identical generated code (codegen caches by
+    source), so the timed runs start fully JIT-ed without paying an extra
+    full-scale pass (~35 s flat JIT cost on this box would otherwise have
+    to be amortized inside the first timed run).
     """
-    from pyspark.sql import functions as F
     from fess_ds_s3_spark.config import CrawlConfig
     from fess_ds_s3_spark.operators import seen as seen_ops
     from fess_ds_s3_spark.plans import round as round_plan
 
+    _warm_page_cache(f"{wh}/frontier", f"{wh}/seen",
+                     f"{wh}/frontier_warm", f"{wh}/seen_warm")
     spark = _session(cores, aqe=False, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = CrawlConfig(region="us-east-1", default_host_budget=2000,
@@ -127,39 +168,39 @@ def _scaling_rep(cores: int, wh: str) -> float:
                       seen_partitions=64)
     frontier = spark.read.parquet(f"{wh}/frontier")
     seen_urls = spark.read.parquet(f"{wh}/seen")
-    frontier.count()
-    seen_urls.count()  # warm page cache
     blooms = seen_ops.build_bloom(seen_urls, cfg).persist()
     blooms.count()
 
-    def run() -> float:
+    # untimed JIT/codegen/python-worker warmup at 1/16 scale
+    frontier_w = spark.read.parquet(f"{wh}/frontier_warm")
+    seen_w = spark.read.parquet(f"{wh}/seen_warm")
+    blooms_w = seen_ops.build_bloom(seen_w, cfg).persist()
+    blooms_w.count()
+    round_plan.schedule(frontier_w, cfg, seen_exact=seen_w,
+                        blooms=blooms_w, use_salting=True).count()
+    blooms_w.unpersist()
+
+    walls = []
+    for _ in range(RUNS_PER_REP):
         t0 = time.time()
         round_plan.schedule(frontier, cfg, seen_exact=seen_urls,
                             blooms=blooms, use_salting=True).count()
-        return time.time() - t0
-
-    # sustained throughput: the first in-JVM execution pays one-time JIT /
-    # codegen / python-worker spin-up (~35 s here regardless of core count
-    # — it would skew a 2-vs-8-core ratio); the north rule's N-vs-4N
-    # criterion is about steady-state cluster throughput, so time the warm
-    # second run
-    run()
-    wall = run()
+        walls.append(time.time() - t0)
     spark.stop()
-    return wall
+    return walls
 
 
-def _run_rep_subprocess(cores: int, wh: str) -> float:
+def _run_rep_subprocess(cores: int, wh: str) -> list[float]:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--scaling-rep",
          str(cores), wh],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1200)
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400)
     if out.returncode != 0:
         raise RuntimeError(f"scaling rep {cores} failed: "
                            f"{out.stderr[-2000:]}")
-    return float(out.stdout.strip().splitlines()[-1])
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def _cpu_control(n: int, n4: int) -> float:
@@ -242,11 +283,14 @@ def _run_headline() -> tuple[dict, float]:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-rep":
-        print(_scaling_rep(int(sys.argv[2]), sys.argv[3]))
+        print(json.dumps(_scaling_rep(int(sys.argv[2]), sys.argv[3])))
         return
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings, total = _run_headline()
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1":
+        timings, total = {}, 0.0  # local iteration on the scaling job only
+    else:
+        timings, total = _run_headline()
 
     result = {
         "metric": "headline query wall time at sf (queries) + URLs "
@@ -263,8 +307,10 @@ def main():
         times: dict[int, list[float]] = {n: [], n4: []}
         for _ in range(REPS):  # interleave to neutralize environment drift
             for cores in (n, n4):
-                times[cores].append(_run_rep_subprocess(cores, wh))
-                print(f"# scaling rep {cores} cores: {times[cores][-1]:.1f}s",
+                samples = _run_rep_subprocess(cores, wh)
+                times[cores].extend(samples)
+                print(f"# scaling rep {cores} cores: "
+                      + " ".join(f"{s:.1f}s" for s in samples),
                       file=sys.stderr)
         cpu_eff, membw_eff = _cpu_control(n, n4)
         t_n, t_4n = min(times[n]), min(times[n4])

@@ -339,6 +339,21 @@ def filter_unseen(frontier: DataFrame, seen_exact: DataFrame,
     return definitely_new.unionByName(confirmed_new)
 
 
+def filter_unseen_cuckoo(frontier: DataFrame, seen_exact: DataFrame,
+                         cuckoo_blobs: DataFrame, cfg: CrawlConfig,
+                         url: str = "canonical_url") -> DataFrame:
+    """Cuckoo-filter variant of :func:`filter_unseen` (the deletable
+    seen-set, F5 fallback): cuckoo pre-filter → exact confirm of the
+    maybe-seen rows, union definite-new rows. Identical output to the
+    exact anti-join — cuckoo filters, like blooms, have no false negatives
+    (fingerprint+bucket of a stored key always probes positive)."""
+    flagged = cuckoo_maybe_seen(frontier, cuckoo_blobs, cfg, url)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_confirm = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = anti_join_seen_exact(needs_confirm, seen_exact, url)
+    return definitely_new.unionByName(confirmed_new)
+
+
 # ---------------------------------------------------------------------------
 # Cuckoo filter fallback (supports delete)
 # ---------------------------------------------------------------------------

@@ -176,3 +176,15 @@ class TestParameterMismatch:
             type(blooms).count = orig_count
         assert calls == []
         assert out.filter(~F.col("maybe_seen")).count() == 0  # no false negs
+
+
+class TestCuckooFilterUnseen:
+    def test_equals_exact_anti_join(self, spark, cfg):
+        frontier = _urls(spark, 300)
+        seen = _urls(spark, 120)
+        blobs = seen_ops.build_cuckoo(seen, cfg)
+        got = sorted(r.canonical_url for r in seen_ops.filter_unseen_cuckoo(
+            frontier, seen, blobs, cfg).collect())
+        exp = sorted(r.canonical_url for r in seen_ops.anti_join_seen_exact(
+            frontier, seen).collect())
+        assert got == exp
