@@ -166,16 +166,25 @@ class CrawlDriver:
                                      {"kind": "robots"})
 
     def _robots_rules(self) -> DataFrame:
-        """Rules dim for this crawl; fail fast when ``respect_robots`` is
-        set but no bodies were installed — the knob must never silently do
-        nothing (the X5 parsed-but-unused anti-pattern, SURVEY.md §2.12)."""
+        """Rules dim for this crawl. In store mode the driver fetches the
+        per-bucket ``robots.txt`` objects itself on first use (then caches
+        them in the robots snapshot table); otherwise the caller must have
+        installed bodies — the knob must never silently do nothing (the X5
+        parsed-but-unused anti-pattern, SURVEY.md §2.12)."""
         from fess_ds_s3_spark.operators import robots as robots_ops
         if not self.robots.exists():
-            raise ValueError(
-                "respect_robots=true but no robots bodies installed — call "
-                "CrawlDriver.install_robots(bodies_df) with (host, body) "
-                "rows first (an empty DataFrame is valid: no rules = "
-                "everything allowed)")
+            if self.object_store_root is not None:
+                from fess_ds_s3_spark.sources.object_store import \
+                    fetch_robots_bodies
+                self.install_robots(fetch_robots_bodies(
+                    self.spark, self.object_store_root, self.cfg))
+            else:
+                raise ValueError(
+                    "respect_robots=true but no robots bodies installed — "
+                    "call CrawlDriver.install_robots(bodies_df) with "
+                    "(host, body) rows first (an empty DataFrame is valid: "
+                    "no rules = everything allowed), or run in object-store "
+                    "mode where robots.txt objects are fetched automatically")
         return robots_ops.robots_rules_table(self.robots.read())
 
     def _ledgered(self, snap_col: str) -> tuple[list[int], list[int]]:

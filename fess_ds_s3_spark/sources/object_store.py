@@ -210,6 +210,44 @@ def list_objects_df(spark: SparkSession, root: str, cfg: CrawlConfig, *,
     return tasks.mapInPandas(_list, LISTING_SCHEMA)
 
 
+#: per-bucket robots object key (crawler convention mapped onto the store:
+#: the virtual-hosted bucket is the "site", so its robots live at the root)
+ROBOTS_KEY = "robots.txt"
+
+
+def fetch_robots_bodies(spark: SparkSession, root: str,
+                        cfg: CrawlConfig) -> DataFrame:
+    """Fetch each bucket's ``robots.txt`` object into the ``(host, body)``
+    bodies table that ``operators.robots`` consumes; hosts are the same
+    virtual-hosted URL hosts the frontier carries
+    (``functions.urls.object_url_py``), so the broadcast join lines up.
+
+    Buckets are a small dim, so the GET loop runs driver-side — the same
+    shape as the reference's bucket iteration
+    (AmazonS3DataStore.java:146-148). A bucket without a robots object
+    contributes no rules (RFC 9309: no robots.txt ⇒ everything allowed).
+    Note the robots object itself is a listable object and will appear in
+    listings like any other key; exclude it via ``exclude_pattern`` if it
+    should not be indexed."""
+    from urllib.parse import urlsplit
+
+    from fess_ds_s3_spark.functions.urls import object_url_py
+    store = FsObjectStore(root)
+    names = store.buckets()
+    if cfg.buckets:
+        names = [b for b in names if b in cfg.buckets]
+    rows = []
+    for bucket in names:
+        host = urlsplit(
+            object_url_py(bucket, "", cfg.region, cfg.endpoint)).netloc
+        try:
+            body, _ = store.get_object(bucket, ROBOTS_KEY)
+        except NoSuchKeyError:
+            continue
+        rows.append((host.lower(), body.decode("utf-8", "replace")))
+    return spark.createDataFrame(rows, "host string, body string")
+
+
 def fetch_objects(admitted: DataFrame, root: str) -> DataFrame:
     """S4 production fetch: batched GETs from inside ``mapInPandas``.
 

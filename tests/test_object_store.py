@@ -213,3 +213,32 @@ class TestFetchStage:
             (r.url, r.contents) for r in
             d.read_committed("indexed").select("url", "contents").collect())
         assert get(d_store) == get(d_table)
+
+
+class TestRobotsFromStore:
+    def test_driver_autofetches_robots_in_store_mode(self, spark, store,
+                                                     tmp_path):
+        """respect_robots + object_store_root: the driver fetches each
+        bucket's robots.txt object itself — no install_robots call — and
+        the rules route E1 discards; buckets without robots.txt allow
+        everything."""
+        store.put_object("fess-0", "robots.txt",
+                         b"User-agent: *\nDisallow: /files/doc-1\n")
+        cfg = CrawlConfig(region=REGION, respect_robots=True,
+                          bloom_expected=1000, seen_partitions=4)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=store.root)
+        driver.seed(frontier)
+        summary = driver.run_round(0)
+        # fess-0/files/doc-1.txt disallowed → discarded; fess-1 untouched;
+        # the robots.txt object itself is a listable object (stored)
+        assert summary.discarded == 1
+        stored_urls = {r.url for r in
+                       driver.read_committed("indexed").collect()}
+        assert not any("fess-0" in u and "doc-1" in u for u in stored_urls)
+        assert any("fess-1" in u and "doc-1" in u for u in stored_urls)
+        # bodies cached in the robots snapshot table for later rounds
+        assert driver.robots.exists()
+        assert driver.robots.read().count() == 1
