@@ -87,3 +87,46 @@ class TestRobotsMatching:
         rule = f"/*.{ext}$"
         assert rule_matches(rule, f"{stem}.{ext}")
         assert rule_matches(rule, f"{stem}.{ext}{extra}") is (extra == "")
+
+
+class TestObjectStorePagination:
+    """Keyset pagination is a pure-Python kernel of the store — sweep it:
+    for ANY key set and ANY page size, concatenated pages == the full
+    ascending-UTF-8 listing, pages never exceed max_keys, and the
+    next-token is None exactly at exhaustion."""
+
+    @given(keys=st.lists(
+        st.from_regex(r"[a-zA-Z0-9._/é中-]{1,20}", fullmatch=True)
+        .filter(lambda k: ".." not in k.split("/")
+                and not k.endswith("/") and not k.startswith("/")
+                and "//" not in k),
+        min_size=0, max_size=25, unique=True),
+        page=st.integers(1, 7))
+    @settings(max_examples=60, deadline=None)
+    def test_pages_reassemble_full_listing(self, tmp_path_factory, keys,
+                                           page):
+        import os
+        from fess_ds_s3_spark.sources.object_store import FsObjectStore
+        root = tmp_path_factory.mktemp("prop-store")
+        store = FsObjectStore(str(root))
+        written = []
+        for k in keys:
+            # dirs and files can collide when one key is a path prefix of
+            # another ("a" vs "a/b") — skip the loser like a real fixture
+            try:
+                store.put_object("b", k, k.encode())
+                written.append(k)
+            except (OSError, NotADirectoryError, IsADirectoryError):
+                pass
+        got, after, rounds = [], "", 0
+        while True:
+            entries, nxt = store.list_objects("b", start_after=after,
+                                              max_keys=page)
+            assert len(entries) <= page
+            got.extend(e["key"] for e in entries)
+            rounds += 1
+            assert rounds <= len(written) + 2  # termination
+            if nxt is None:
+                break
+            after = nxt
+        assert got == sorted(written, key=lambda k: k.encode("utf-8"))
