@@ -221,6 +221,21 @@ def bloom_maybe_seen_broadcast(frontier: DataFrame, blobs: list,
             out[mask] = _test_bits(bits, pos)
         return pd.Series(out)
 
+    # The probe is a pure function of the URL, but it is declared
+    # NONDETERMINISTIC on purpose: filter_unseen branches on the flag
+    # (definitely-new / needs-confirm), and because the flag depends only
+    # on the upstream aggregate's GROUPING KEY, Catalyst may push each
+    # branch's filter below the dedup aggregate — legal row-wise, but it
+    # specializes the exchange input per branch, defeating ReuseExchange
+    # and re-executing the whole scan+partial-agg+probe subtree per branch
+    # (measured: a second full-scale 32-task stage, +185 CPU-s at 32M
+    # rows). Blocking reordering keeps one shared Exchange; per-row
+    # results are unchanged (pure function), which the equivalence tests
+    # pin. Same class of bug as the r1 canonicalize double-eval
+    # (filter-through-window); the plan shape is asserted in
+    # tests/test_invariance.py.
+    _probe = _probe.asNondeterministic()
+
     keyed = with_seen_keys(frontier, cfg, url)
     return (keyed.withColumn(flag, _probe(F.col("part_id"), F.col("h1"),
                                           F.col("h2")))

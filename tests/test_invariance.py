@@ -84,3 +84,30 @@ class TestRoundSizeInvariance:
             out = seen_ops.filter_unseen(prepared, seen, blooms, cfg)
             results.append(sorted(r.url for r in out.collect()))
         assert results[0] == results[1] == results[2]
+
+
+class TestBloomBranchPlanShape:
+    def test_filter_unseen_branches_reuse_one_exchange(self, spark):
+        """Plan shape: filter_unseen's two branches (definitely-new /
+        needs-confirm) must hang off ONE shared dedup Exchange
+        (ReusedExchange), never re-execute the scan+partial-agg+probe
+        subtree per branch. Catalyst would otherwise push each branch's
+        maybe_seen filter below the dedup aggregate (the flag depends only
+        on the grouping key) and specialize the exchange input per branch —
+        measured as a duplicate full-scale scan stage (+185 CPU-s at 32M
+        rows, r3). The probe UDF's nondeterministic marker blocks that
+        reordering (seen.py:bloom_maybe_seen_broadcast)."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=5,
+                          bloom_expected=10_000, seen_partitions=4)
+        from fess_ds_s3_spark.operators import seen as seen_ops
+        frontier = synthetic.synth_frontier(spark, 200, n_hosts=4,
+                                            n_buckets=2, seed=13)
+        seen = (synthetic.synth_frontier(spark, 50, n_hosts=4, n_buckets=2,
+                                         seed=13)
+                .select(F.col("url").alias("canonical_url")))
+        blooms = seen_ops.build_bloom(seen, cfg)
+        out = round_plan.schedule(frontier, cfg, seen_exact=seen,
+                                  blooms=blooms, use_salting=False)
+        out.collect()  # materialize THIS df's adaptive plan to its final form
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan

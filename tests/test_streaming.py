@@ -152,3 +152,37 @@ class TestOutOfOrderWindows:
                               ).write.parquet(src, mode="append")
         rows3 = run("b3")
         assert rows3[("a", 60)] == 4
+
+
+class TestStreamStoreMode:
+    def test_streaming_crawl_fetches_from_store(self, spark, tmp_path):
+        """Streaming micro-batches drive the SAME round logic, so a driver
+        in object-store mode fetches content through the production stage
+        per micro-batch — contents land in the committed indexed sink."""
+        from fess_ds_s3_spark.sources.object_store import (FsObjectStore,
+                                                           list_objects_df)
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=4)
+        store = FsObjectStore(str(tmp_path / "store"))
+        for i in range(6):
+            store.put_object("sb", f"k{i}.txt", f"text-{i}".encode(),
+                             content_type="text/plain")
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = (listing
+                    .withColumn("priority", F.lit(0))
+                    .withColumn("discovery_time",
+                                F.to_timestamp(F.lit("2020-01-01")))
+                    .withColumn("round", F.lit(0)))
+        src = str(tmp_path / "incoming")
+        frontier.write.parquet(src, mode="append")
+
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=store.root)
+        stream = stream_frontier(spark, src, frontier.schema)
+        q = continuous_crawl(spark, stream, driver,
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+        rows = {r.url: r.contents
+                for r in driver.read_committed("indexed").collect()}
+        assert len(rows) == 6
+        assert any(v == "text-0" for v in rows.values())
