@@ -56,12 +56,64 @@ class OracleCrawler:
 
     def __init__(self, cfg: CrawlConfig,
                  payloads: Mapping[tuple[str, str], Mapping[str, Any]] | None,
-                 host_budgets: Mapping[str, int] | None = None):
+                 host_budgets: Mapping[str, int] | None = None,
+                 robots_bodies: Mapping[str, str] | None = None,
+                 robots_round_seconds: float = 60.0):
         self.cfg = cfg
         #: None = metadata-only listing crawl (engine payloads=None mode):
         #: no GET, no MIME check; size-guarded rows are stored contents-less.
         self.payloads = payloads
         self.host_budgets = dict(host_budgets or {})
+        #: F6 (engine mode): per-host robots.txt bodies; rules route E1
+        #: discards after the url filter and Crawl-delay tightens budgets —
+        #: mirroring CrawlDriver.run_round's respect_robots wiring
+        self.robots_rules: dict[str, list[dict]] | None = None
+        if robots_bodies is not None:
+            from fess_ds_s3_spark.operators.robots import parse_robots_txt
+            self.robots_rules = {h: parse_robots_txt(b)
+                                 for h, b in robots_bodies.items()}
+        self.robots_round_seconds = robots_round_seconds
+
+    def _robots_disallowed(self, host: str, url: str) -> bool:
+        if self.robots_rules is None:
+            return False
+        from urllib.parse import urlsplit
+
+        from fess_ds_s3_spark.operators.robots import robots_allowed
+        rules = self.robots_rules.get(host)
+        if not rules:
+            return False
+        path = urlsplit(url).path or "/"
+        return not robots_allowed(rules, self.cfg.user_agent, path)
+
+    def _robots_budget(self, host: str) -> int | None:
+        """Crawl-delay → per-round budget (robots.crawl_delay_budgets
+        semantics: floor(round_seconds / delay), min 1)."""
+        if self.robots_rules is None:
+            return None
+        from fess_ds_s3_spark.operators.robots import crawl_delay_of
+        rules = self.robots_rules.get(host)
+        if not rules:
+            return None
+        delay = crawl_delay_of(rules, self.cfg.user_agent)
+        if delay is None or delay <= 0:
+            return None
+        return max(1, int(self.robots_round_seconds // delay))
+
+    def _budget(self, host: str) -> int:
+        """Effective per-host budget: least of the caller-provided budget
+        and the Crawl-delay-derived one when both exist (engine:
+        robots.merge_host_budgets); hosts with neither fall back to
+        cfg.default_host_budget."""
+        caller = self.host_budgets.get(host)
+        robots = self._robots_budget(host)
+        if caller is not None and robots is not None:
+            return min(caller, robots)
+        if caller is not None:
+            return caller
+        if robots is not None:
+            return robots
+        return self.cfg.default_host_budget
 
     # ----- per-object pipeline (storeObject, :191-288) ----------------------
 
@@ -78,6 +130,12 @@ class OracleCrawler:
         if cfg.exclude_pattern is not None and _full_match(
                 cfg.exclude_pattern, url):
             res.discarded.append((url, DISCARD_URL_FILTER))
+            return
+
+        # F6 robots (engine wiring: after the url filter, E1 discard —
+        # plans/round.process; reference discard routing :203-210)
+        if self._robots_disallowed(row.get("host") or "", url):
+            res.discarded.append((url, "robots"))
             return
 
         # metadata-only mode: no GET/MIME; size guard then contents-less store
@@ -198,8 +256,7 @@ class OracleCrawler:
                     {**row, "url": url, "_canon": canon})
             admitted: list[dict] = []
             for host in sorted(by_host):
-                budget = self.host_budgets.get(
-                    host, self.cfg.default_host_budget)
+                budget = self._budget(host)
                 rows = sorted(by_host[host],
                               key=lambda r: (r.get("priority", 0),
                                              r.get("discovery_time", 0),

@@ -185,3 +185,61 @@ class TestMultiRoundOracle:
                 driver.read_committed("indexed").select("url", "round")
                 .collect()})
         assert results[0] == results[1]
+
+
+class TestRobotsMultiRoundOracle:
+    def test_respect_robots_rounds_match_oracle(self, spark, tmp_path):
+        """Full driver rounds with respect_robots=true ≡ the pure-Python
+        oracle given the same robots bodies: per-round admission partition,
+        robots E1 discards, Crawl-delay-tightened budgets, stored/failed
+        routing, final seen set."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=4,
+                          max_size=15_000_000, respect_robots=True,
+                          bloom_expected=10_000, seen_partitions=8)
+        frontier = synthetic.synth_frontier(spark, 150, n_hosts=6,
+                                            n_buckets=3, seed=41)
+        # even hosts: disallow one shard + crawl-delay 30s (→ budget 2);
+        # odd hosts: allow-all, no delay (→ default budget 4)
+        hosts = sorted(r.host for r in
+                       frontier.select("host").distinct().collect())
+        bodies = {}
+        for h in hosts:
+            idx = int(h.split("-")[1].split(".")[0])
+            bodies[h] = ("User-agent: *\nDisallow: /data/0\nCrawl-delay: 30\n"
+                         if idx % 2 == 0 else "User-agent: *\nDisallow:\n")
+
+        prepared = round_plan.prepare_frontier(frontier, cfg)
+        rows = [r.asDict() for r in prepared.select(
+            "bucket", "key", "url", "host", "size", "priority",
+            "discovery_time").collect()]
+        oracle = OracleCrawler(cfg, None, robots_bodies=bodies)
+        expected = oracle.crawl_engine_order(rows, n_rounds=8)
+        exp_per_round: dict[int, set] = {}
+        for rnd, _seq, url in expected.admissions:
+            exp_per_round.setdefault(rnd, set()).add(url)
+
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(frontier)
+        bodies_df = spark.createDataFrame(list(bodies.items()),
+                                          "host string, body string")
+        driver.install_robots(bodies_df)
+        summaries = driver.run(8)
+
+        seen_rounds = {(r.canonical_url, r.round)
+                       for r in driver.committed_seen().collect()}
+        got_per_round: dict[int, set] = {}
+        for url, rnd in seen_rounds:
+            got_per_round.setdefault(rnd, set()).add(url)
+        for rnd in exp_per_round:
+            assert got_per_round.get(rnd, set()) == exp_per_round[rnd], \
+                f"round {rnd}"
+
+        got_stored = {r.url for r in
+                      driver.read_committed("indexed").collect()}
+        assert got_stored == set(expected.stored_urls)
+        exp_discarded = {u for u, reason in expected.discarded
+                         if reason == "robots"}
+        assert exp_discarded, "fixture must exercise robots discards"
+        assert sum(s.discarded for s in summaries) == len(expected.discarded)
+        assert {r.canonical_url for r in driver.committed_seen().collect()} \
+            == expected.seen
