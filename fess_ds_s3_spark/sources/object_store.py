@@ -238,13 +238,17 @@ def fetch_robots_bodies(spark: SparkSession, root: str,
         names = [b for b in names if b in cfg.buckets]
     rows = []
     for bucket in names:
+        # .hostname, not .netloc: the engine's canonical host column is
+        # parse_url(url, 'HOST') — port-less and lowercased — and the
+        # robots broadcast join keys on it; a ported endpoint override
+        # (e.g. minio.local:9000) must still line up
         host = urlsplit(
-            object_url_py(bucket, "", cfg.region, cfg.endpoint)).netloc
+            object_url_py(bucket, "", cfg.region, cfg.endpoint)).hostname
         try:
             body, _ = store.get_object(bucket, ROBOTS_KEY)
         except NoSuchKeyError:
             continue
-        rows.append((host.lower(), body.decode("utf-8", "replace")))
+        rows.append((host, body.decode("utf-8", "replace")))
     return spark.createDataFrame(rows, "host string, body string")
 
 

@@ -242,3 +242,27 @@ class TestRobotsFromStore:
         # bodies cached in the robots snapshot table for later rounds
         assert driver.robots.exists()
         assert driver.robots.read().count() == 1
+
+
+class TestEndpointOverride:
+    def test_robots_hosts_match_endpoint_frontier_urls(self, spark,
+                                                       tmp_path):
+        """With an endpoint override, fetch_robots_bodies must emit the
+        same virtual-hosted hosts the frontier URLs carry, or the
+        broadcast join silently matches nothing."""
+        from fess_ds_s3_spark.sources.object_store import fetch_robots_bodies
+        st = FsObjectStore(str(tmp_path / "es"))
+        st.put_object("b1", "robots.txt", b"User-agent: *\nDisallow: /x\n")
+        st.put_object("b1", "k.txt", b"data")
+        cfg = CrawlConfig(region="us-east-1",
+                          endpoint="http://minio.local:9000")
+        bodies = fetch_robots_bodies(spark, st.root, cfg)
+        hosts = {r.host for r in bodies.collect()}
+        # port-less, like parse_url(url, 'HOST') — the join key everywhere
+        assert hosts == {"b1.minio.local"}
+        from fess_ds_s3_spark.plans.round import prepare_frontier
+        listing = list_objects_df(spark, st.root, cfg)
+        frontier = prepare_frontier(_frontier_from_listing(listing), cfg,
+                                    encode_urls=False)
+        f_hosts = {r.host for r in frontier.select("host").collect()}
+        assert hosts <= f_hosts
