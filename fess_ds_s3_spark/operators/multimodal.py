@@ -16,14 +16,13 @@ as a single callable.
 from __future__ import annotations
 
 import hashlib
-import math
 from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
 MEDIA_META_TYPE = StructType([

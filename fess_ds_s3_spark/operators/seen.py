@@ -31,7 +31,6 @@ no broadcast of the full filter, no blob duplication through a join.
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -43,8 +43,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
-                               StructType, TimestampType)
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 from fess_ds_s3_spark.config import CrawlConfig
 from fess_ds_s3_spark.operators import seen as seen_ops

@@ -40,7 +40,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, BooleanType, LongType, StringType,
                                StructField, StructType, TimestampType)
 

@@ -28,10 +28,8 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from fess_ds_s3_spark.config import CrawlConfig
 from fess_ds_s3_spark.plans.crawl import CrawlDriver
 
 
