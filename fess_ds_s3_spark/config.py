@@ -76,7 +76,17 @@ class CrawlConfig:
     supported_mimetypes: tuple[str, ...] = (".*",)
     include_pattern: str | None = None
     exclude_pattern: str | None = None
-    number_of_threads: int = 1  # → target parallelism hint
+    # X1. Two engine roles, both per the reference's
+    # fixedThreadPool(numberOfThreads) intent (AmazonS3DataStore.java:173):
+    # (a) parallelism FLOOR for the processing stage (never a cap — a small
+    #     value must not force a content shuffle down on a wide cluster;
+    #     plans/round.py:process), and
+    # (b) upper bound on the per-task GET pool inside the object-store fetch
+    #     stage (sources/object_store.fetch_objects), which preserves the
+    #     reference's fetch-throttling intent per task. Documented
+    #     divergence: on a wide cluster the GLOBAL GET concurrency is
+    #     tasks × number_of_threads, not number_of_threads.
+    number_of_threads: int = 1
     # Engine-only knobs (no reference analog):
     default_host_budget: int = 1_000_000  # politeness: admissions/host/round
     salt_threshold: int = 100_000  # frontier rows per host before salting

@@ -178,20 +178,38 @@ def robots_rules_table(robots_bodies: DataFrame,
                     F.col("r.crawl_delay").alias("crawl_delay")))
 
 
+#: broadcast the grouped rules dim only while its source bodies fit
+#: comfortably in executor memory; past this, a plain shuffle join on host
+#: produces identical routing (same gate pattern as the bloom probe's
+#: broadcast-vs-cogroup switch, operators/seen.py:maybe_seen_auto)
+ROBOTS_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def apply_robots_filter(df: DataFrame, rules: DataFrame, cfg: CrawlConfig,
-                        url: str = "url") -> DataFrame:
+                        url: str = "url",
+                        rules_bytes: int | None = None) -> DataFrame:
     """Route robots-disallowed pending rows → discarded(robots).
 
-    The rules table is collected per host group (broadcast join on host —
-    rules tables are small dims even for huge crawls) and the longest-match
-    decision runs vectorized per Arrow batch.
+    The rules table is collected per host group and joined on host, then
+    the longest-match decision runs vectorized per Arrow batch. The join is
+    a **size-gated broadcast**: for object-store crawls (hosts = buckets)
+    the rules dim is tiny and broadcasting is free, but a web-shaped crawl
+    with millions of hosts × rules could exceed driver/executor memory —
+    so callers that know the rules size (``rules_bytes``: total robots body
+    bytes, carried in the crawl driver's robots snapshot metadata) get an
+    automatic fallback to a plain shuffle join past
+    ``ROBOTS_BROADCAST_MAX_BYTES``. Routing is identical on both paths
+    (tested); unknown size keeps the broadcast (the small-dim common case).
     """
     agent = cfg.user_agent.lower()
     grouped = (rules.groupBy("host")
                .agg(F.collect_list(F.struct("agent", "rule_kind",
                                             "path_prefix", "crawl_delay"))
                     .alias("host_rules")))
-    joined = df.join(F.broadcast(grouped), on="host", how="left")
+    if rules_bytes is not None and rules_bytes > ROBOTS_BROADCAST_MAX_BYTES:
+        joined = df.join(grouped, on="host", how="left")
+    else:
+        joined = df.join(F.broadcast(grouped), on="host", how="left")
 
     @pandas_udf(BooleanType())
     def _allowed(urls: pd.Series, host_rules: pd.Series) -> pd.Series:

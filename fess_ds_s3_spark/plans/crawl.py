@@ -102,7 +102,9 @@ class CrawlDriver:
 
     ``object_store_root``: fetched-mode crawls GET content through the
     production fetch stage (``sources.object_store.fetch_objects``) against
-    this store instead of a pre-fetched ``payloads`` table.
+    this store instead of a pre-fetched ``payloads`` table. Accepts an
+    FsObjectStore root path or any ``StoreSpec`` (e.g. ``S3StoreSpec`` for
+    a real S3/MinIO deployment).
 
     ``robots_round_seconds``: the wall-clock a scheduling round represents
     when converting robots ``Crawl-delay`` into per-round budgets
@@ -112,7 +114,7 @@ class CrawlDriver:
     def __init__(self, spark: SparkSession, warehouse: str, cfg: CrawlConfig,
                  *, use_bloom: bool = True, use_salting: bool = True,
                  encode_urls: bool = True, per_round_cap: int | None = None,
-                 object_store_root: str | None = None,
+                 object_store_root=None,
                  robots_round_seconds: float = 60.0):
         if per_round_cap is not None and per_round_cap <= 0:
             raise ValueError("per_round_cap must be positive or None")
@@ -161,16 +163,24 @@ class CrawlDriver:
         the F6 operator and Crawl-delay budgets are derived from each round
         when ``cfg.respect_robots`` is set. Overwrite semantics: the table
         always holds the latest full fetch (robots files supersede, they
-        don't accumulate)."""
-        return self.robots.overwrite(robots_bodies.select("host", "body"),
-                                     {"kind": "robots"})
+        don't accumulate). The total body byte count rides the snapshot
+        metadata so each round's rules join can size-gate its broadcast
+        without a per-round job (same pattern as the bloom blob sizing)."""
+        bodies = robots_bodies.select("host", "body")
+        stats = bodies.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("body")).alias("b")).first()
+        return self.robots.overwrite(
+            bodies, {"kind": "robots", "n_hosts": int(stats["n"] or 0),
+                     "body_bytes": int(stats["b"] or 0)})
 
-    def _robots_rules(self) -> DataFrame:
-        """Rules dim for this crawl. In store mode the driver fetches the
-        per-bucket ``robots.txt`` objects itself on first use (then caches
-        them in the robots snapshot table); otherwise the caller must have
-        installed bodies — the knob must never silently do nothing (the X5
-        parsed-but-unused anti-pattern, SURVEY.md §2.12)."""
+    def _robots_rules(self) -> tuple[DataFrame, int | None]:
+        """(rules dim, total robots body bytes) for this crawl. In store
+        mode the driver fetches the per-bucket ``robots.txt`` objects
+        itself on first use (then caches them in the robots snapshot
+        table); otherwise the caller must have installed bodies — the knob
+        must never silently do nothing (the X5 parsed-but-unused
+        anti-pattern, SURVEY.md §2.12)."""
         from fess_ds_s3_spark.operators import robots as robots_ops
         if not self.robots.exists():
             if self.object_store_root is not None:
@@ -185,7 +195,8 @@ class CrawlDriver:
                     "(host, body) rows first (an empty DataFrame is valid: "
                     "no rules = everything allowed), or run in object-store "
                     "mode where robots.txt objects are fetched automatically")
-        return robots_ops.robots_rules_table(self.robots.read())
+        rules_bytes = self.robots.metadata().get("body_bytes")
+        return robots_ops.robots_rules_table(self.robots.read()), rules_bytes
 
     def _ledgered(self, snap_col: str) -> tuple[list[int], list[int]]:
         """(snapshot ids, legacy round ids) from the committed ledger.
@@ -278,13 +289,13 @@ class CrawlDriver:
             meta = self.seen_bloom.metadata()
             bloom_size = meta.get("size_bytes")
 
-        robots_rules = None
+        robots_rules, robots_rules_bytes = None, None
         if cfg.respect_robots:
             from fess_ds_s3_spark.operators import robots as robots_ops
             # F6: disallow rules route admitted rows to E1 discards inside
             # process(); Crawl-delay rules tighten the per-host politeness
             # budgets (least-of when the caller also passed budgets)
-            robots_rules = self._robots_rules()
+            robots_rules, robots_rules_bytes = self._robots_rules()
             host_budgets = robots_ops.merge_host_budgets(
                 host_budgets,
                 robots_ops.crawl_delay_budgets(
@@ -297,6 +308,7 @@ class CrawlDriver:
             seen_exact=seen_df.select("canonical_url"),
             blooms=blooms, host_budgets=host_budgets,
             robots_rules=robots_rules,
+            robots_rules_bytes=robots_rules_bytes,
             use_salting=self.use_salting, encode_urls=self.encode_urls,
             # O2: optional per-round admission cap (engine knob; None =
             # admit everything budgets allow, reference-outcome-equivalent)

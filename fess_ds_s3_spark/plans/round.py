@@ -186,7 +186,8 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
 def process(admitted: DataFrame, cfg: CrawlConfig,
             payloads: DataFrame | None = None, *,
             robots_rules: DataFrame | None = None,
-            object_store_root: str | None = None,
+            robots_rules_bytes: int | None = None,
+            object_store_root=None,
             encode_urls: bool = True) -> DataFrame:
     """Processing half: filter chain + fetch + extract + project. Returns
     the wide documents rows with status routing columns.
@@ -212,13 +213,21 @@ def process(admitted: DataFrame, cfg: CrawlConfig,
     df = apply_url_filter(df, cfg)
     if robots_rules is not None:
         from fess_ds_s3_spark.operators.robots import apply_robots_filter
-        df = apply_robots_filter(df, robots_rules, cfg)
+        df = apply_robots_filter(df, robots_rules, cfg,
+                                 rules_bytes=robots_rules_bytes)
     if payloads is not None or object_store_root is not None:
         if payloads is not None:
             df = fetch_payloads(df, payloads)
         else:
             from fess_ds_s3_spark.sources.object_store import fetch_objects
-            df = fetch_objects(df, object_store_root)
+            # number_of_threads also bounds the per-task GET pool inside the
+            # fetch stage — the reference's fixedThreadPool is an upper
+            # bound on concurrent fetches against the store, and this keeps
+            # that throttling intent expressible per task (global GET
+            # concurrency ≤ tasks × number_of_threads; documented divergence:
+            # it is not a global cap on a wide cluster).
+            df = fetch_objects(df, object_store_root,
+                               fetch_concurrency=cfg.number_of_threads)
         # X1 fan-out: the reference's fixedThreadPool(number_of_threads)
         # parallelizes per-object fetch+extract; the analog is the partition
         # width of the Python extraction stage. The knob is a FLOOR, not a
@@ -253,7 +262,8 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
               blooms: DataFrame | None = None,
               host_budgets: DataFrame | None = None,
               robots_rules: DataFrame | None = None,
-              object_store_root: str | None = None,
+              robots_rules_bytes: int | None = None,
+              object_store_root=None,
               use_salting: bool = True,
               encode_urls: bool = True,
               global_cap: int | None = None,
@@ -291,6 +301,7 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
                                         for c in wide_cols]))
         admitted = admitted.join(one_per_url, on="url", how="left")
     processed = process(admitted, cfg, payloads, robots_rules=robots_rules,
+                        robots_rules_bytes=robots_rules_bytes,
                         object_store_root=object_store_root,
                         encode_urls=encode_urls)
     return RoundResult(

@@ -17,16 +17,30 @@ The production shape of the reference's two S3 calls:
   null and routes to E2 via ``route_fetch_miss``
   (NoSuchKeyException, ``AmazonS3DataStore.java:279-284``).
 
-The store itself (:class:`FsObjectStore`) is a local-filesystem stand-in —
-directory layout ``root/bucket/key`` with an optional content-type sidecar —
-because this sandbox has no network/S3. Swapping in a real client means
-replacing the two methods ``get_object`` / ``list_objects`` (boto3's are
-drop-in shaped); every Spark-side operator is client-agnostic.
+The store is **pluggable**: every Spark-side operator takes a
+:class:`StoreSpec` — a small picklable description that each task
+``connect()``s into a client implementing the two-method ``ObjectStore``
+protocol (``get_object`` / ``list_objects`` [+ ``buckets``]). Shipped specs:
+
+- :class:`FsStoreSpec` → :class:`FsObjectStore`, the local-filesystem
+  stand-in (directory layout ``root/bucket/key`` + content-type sidecar)
+  used by tests/fixtures in this network-less sandbox;
+- :class:`LatencyFsStoreSpec` → the same store with a per-GET injected
+  latency, the test double that makes fetch-concurrency wins measurable;
+- :class:`S3StoreSpec` → :class:`S3ObjectStore`, the boto3 client built
+  from the reference's validated parameter surface (region / endpoint /
+  credentials / proxy, ``AmazonS3Client.java:67-114``). Tested against
+  ``botocore.stub.Stubber`` (no network here); on a real deployment this is
+  the production client for S3/MinIO.
 
 Scale notes: listing parallelism = number of (bucket, prefix) shards — at
 10^10 keys, shard by prefix (e.g. 256 hex prefixes per bucket) so no single
 task pages a whole bucket. Fetch parallelism = partitioning of the admitted
-batch (see plans/round.process: ``number_of_threads`` is a floor). Content
+batch (see plans/round.process: ``number_of_threads`` is a floor) × a
+bounded per-task GET thread pool (``fetch_concurrency`` — the X1 analog of
+the reference's ``fixedThreadPool(number_of_threads)``,
+``AmazonS3DataStore.java:173-174,421-427``: against a ~50 ms/GET store a
+serial task fetches ~20 objects/s; the pool overlaps that latency). Content
 bytes never pass through the driver in either stage.
 """
 
@@ -35,8 +49,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import Iterator
+from typing import Any, Iterator, Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -153,6 +170,191 @@ class FsObjectStore:
 
 
 # ---------------------------------------------------------------------------
+# Store protocol + picklable specs (the pluggable-client seam)
+# ---------------------------------------------------------------------------
+
+class ObjectStore(Protocol):
+    """The two-method client surface every Spark-side operator consumes
+    (the engine's analog of the reference's AmazonS3Client wrapper,
+    AmazonS3Client.java:124-152)."""
+
+    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]: ...
+
+    def list_objects(self, bucket: str, prefix: str = "",
+                     start_after: str = "",
+                     max_keys: int = 1000) -> tuple[list[dict], str | None]: ...
+
+
+class StoreSpec(Protocol):
+    """Picklable store description; each Spark task ``connect()``s its own
+    client (clients hold sockets/file handles and must not cross the
+    driver→executor pickle boundary)."""
+
+    def connect(self) -> ObjectStore: ...
+
+
+@dataclass(frozen=True)
+class FsStoreSpec:
+    """Local-filesystem store (the sandbox stand-in)."""
+    root: str
+
+    def connect(self) -> "FsObjectStore":
+        return FsObjectStore(self.root)
+
+
+class _LatencyStore:
+    """Wrap any store with a fixed per-GET latency — models a remote object
+    store's round-trip so fetch-concurrency wins are measurable in tests."""
+
+    def __init__(self, inner, get_latency_s: float):
+        self._inner = inner
+        self._latency = get_latency_s
+
+    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+        time.sleep(self._latency)
+        return self._inner.get_object(bucket, key)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+@dataclass(frozen=True)
+class LatencyFsStoreSpec:
+    """FsObjectStore + injected per-GET latency (test double for a ~N-ms
+    round-trip store; listing stays instant — it is the GETs whose latency
+    the per-task thread pool must overlap)."""
+    root: str
+    get_latency_s: float = 0.05
+
+    def connect(self) -> _LatencyStore:
+        return _LatencyStore(FsObjectStore(self.root), self.get_latency_s)
+
+
+def s3_client_kwargs(cfg: CrawlConfig) -> dict[str, Any]:
+    """boto3 ``client('s3', ...)`` kwargs from the validated reference
+    parameter surface (AmazonS3Client.java:67-114: region, endpoint
+    override, basic credentials, HTTP proxy). Pure function so the mapping
+    is testable without constructing a client."""
+    kwargs: dict[str, Any] = {"region_name": cfg.region}
+    if cfg.endpoint:
+        kwargs["endpoint_url"] = cfg.endpoint
+    if cfg.access_key_id and cfg.secret_key:
+        kwargs["aws_access_key_id"] = cfg.access_key_id
+        kwargs["aws_secret_access_key"] = cfg.secret_key
+    if cfg.proxy_host:
+        proxy = f"http://{cfg.proxy_host}:{int(str(cfg.proxy_port))}"
+        kwargs["config_proxies"] = {"http": proxy, "https": proxy}
+    return kwargs
+
+
+class S3ObjectStore:
+    """boto3-backed production client implementing the ObjectStore protocol.
+
+    Same method shapes as :class:`FsObjectStore`, so every operator
+    (listing page loop, batched fetch, robots fetch) is client-agnostic:
+
+    - ``list_objects`` → ``list_objects_v2`` with ``StartAfter`` keyset
+      pagination (AmazonS3Client.java:137-148); ``next_start_after`` is the
+      page's last key while the listing is truncated, else None.
+    - ``get_object`` → ``get_object``; a ``NoSuchKey`` client error maps to
+      :class:`NoSuchKeyError` so E2 routing (AmazonS3DataStore.java:279-284)
+      is store-independent.
+
+    boto3 clients are thread-safe, so one client serves the whole per-task
+    GET pool.
+    """
+
+    def __init__(self, client):
+        self._client = client
+
+    @classmethod
+    def from_config(cls, cfg: CrawlConfig) -> "S3ObjectStore":
+        import boto3
+        from botocore.config import Config as BotoConfig
+        kwargs = s3_client_kwargs(cfg)
+        proxies = kwargs.pop("config_proxies", None)
+        if proxies:
+            kwargs["config"] = BotoConfig(proxies=proxies)
+        return cls(boto3.client("s3", **kwargs))
+
+    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+        from botocore.exceptions import ClientError
+        try:
+            resp = self._client.get_object(Bucket=bucket, Key=key)
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code")
+            if code in ("NoSuchKey", "404"):
+                raise NoSuchKeyError(f"{bucket}/{key}") from exc
+            raise
+        body = resp["Body"].read()
+        return body, resp.get("ContentType") or DEFAULT_CONTENT_TYPE
+
+    def buckets(self) -> list[str]:
+        resp = self._client.list_buckets()
+        return sorted(b["Name"] for b in resp.get("Buckets", []))
+
+    def list_objects(self, bucket: str, prefix: str = "",
+                     start_after: str = "",
+                     max_keys: int = 1000) -> tuple[list[dict], str | None]:
+        resp = self._client.list_objects_v2(
+            Bucket=bucket, Prefix=prefix, StartAfter=start_after,
+            MaxKeys=max_keys)
+        entries = [{
+            "key": obj["Key"],
+            "size": int(obj["Size"]),
+            "etag": obj.get("ETag", "").strip('"'),
+            "last_modified": obj["LastModified"],
+            "storage_class": obj.get("StorageClass", "STANDARD"),
+        } for obj in resp.get("Contents", [])]
+        next_after = (entries[-1]["key"]
+                      if resp.get("IsTruncated") and entries else None)
+        return entries, next_after
+
+
+@dataclass(frozen=True)
+class S3StoreSpec:
+    """Picklable S3 client description (region/endpoint/credentials/proxy —
+    the validated S8 surface). NOTE: credentials ride the task-pickle like
+    any Spark closure variable; on a real cluster prefer instance-profile /
+    env credentials and leave them None here."""
+    region: str
+    endpoint: str | None = None
+    access_key_id: str | None = None
+    secret_key: str | None = None
+    proxy_host: str | None = None
+    proxy_port: str | None = None
+
+    @classmethod
+    def from_config(cls, cfg: CrawlConfig) -> "S3StoreSpec":
+        from fess_ds_s3_spark.session import validate_client_params
+        validate_client_params(cfg, require_credentials=False)
+        return cls(region=cfg.region, endpoint=cfg.endpoint,
+                   access_key_id=cfg.access_key_id, secret_key=cfg.secret_key,
+                   proxy_host=cfg.proxy_host, proxy_port=cfg.proxy_port)
+
+    def _cfg(self) -> CrawlConfig:
+        return CrawlConfig(region=self.region, endpoint=self.endpoint,
+                           access_key_id=self.access_key_id,
+                           secret_key=self.secret_key,
+                           proxy_host=self.proxy_host,
+                           proxy_port=self.proxy_port)
+
+    def connect(self) -> S3ObjectStore:
+        return S3ObjectStore.from_config(self._cfg())
+
+
+def as_store_spec(store: "str | StoreSpec") -> "StoreSpec":
+    """Normalize the operator-facing store argument: a plain string is the
+    FsObjectStore root (backward-compatible), anything else must already be
+    a StoreSpec."""
+    if isinstance(store, str):
+        return FsStoreSpec(store)
+    if not hasattr(store, "connect"):
+        raise TypeError(f"not a store root or StoreSpec: {store!r}")
+    return store
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
@@ -166,19 +368,22 @@ LISTING_SCHEMA = StructType([
 ])
 
 
-def list_objects_df(spark: SparkSession, root: str, cfg: CrawlConfig, *,
+def list_objects_df(spark: SparkSession, root: "str | StoreSpec",
+                    cfg: CrawlConfig, *,
                     buckets: list[str] | None = None,
                     prefixes: list[str] | None = None) -> DataFrame:
     """Distributed listing: one task per (bucket, prefix) shard; each task
     pages its shard by ``cfg.max_keys`` to exhaustion — the reference's
     page loop (AmazonS3Client.java:139-147) run in parallel across shards.
 
+    ``root``: FsObjectStore root path or any :class:`StoreSpec`.
     ``buckets`` defaults to the store's buckets filtered by ``cfg.buckets``
     (F4 membership). ``prefixes`` shards each bucket's keyspace; default is
     one shard per bucket (fine up to ~10^6 keys/bucket; at frontier scale
     pass e.g. 256 prefix shards so no task walks a whole bucket).
     """
-    store = FsObjectStore(root)
+    spec = as_store_spec(root)
+    store = spec.connect()
     names = buckets if buckets is not None else store.buckets()
     if cfg.buckets:
         names = [b for b in names if b in cfg.buckets]
@@ -190,7 +395,7 @@ def list_objects_df(spark: SparkSession, root: str, cfg: CrawlConfig, *,
     max_keys = cfg.max_keys
 
     def _list(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = FsObjectStore(root)
+        local = spec.connect()
         for pdf in batches:
             for bucket, prefix in zip(pdf["bucket"], pdf["prefix"]):
                 after = ""
@@ -214,7 +419,7 @@ def list_objects_df(spark: SparkSession, root: str, cfg: CrawlConfig, *,
 ROBOTS_KEY = "robots.txt"
 
 
-def fetch_robots_bodies(spark: SparkSession, root: str,
+def fetch_robots_bodies(spark: SparkSession, root: "str | StoreSpec",
                         cfg: CrawlConfig) -> DataFrame:
     """Fetch each bucket's ``robots.txt`` object into the ``(host, body)``
     bodies table that ``operators.robots`` consumes; hosts are the same
@@ -231,7 +436,7 @@ def fetch_robots_bodies(spark: SparkSession, root: str,
     from urllib.parse import urlsplit
 
     from fess_ds_s3_spark.functions.urls import object_url_py
-    store = FsObjectStore(root)
+    store = as_store_spec(root).connect()
     names = store.buckets()
     if cfg.buckets:
         names = [b for b in names if b in cfg.buckets]
@@ -251,7 +456,8 @@ def fetch_robots_bodies(spark: SparkSession, root: str,
     return spark.createDataFrame(rows, "host string, body string")
 
 
-def fetch_objects(admitted: DataFrame, root: str) -> DataFrame:
+def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
+                  fetch_concurrency: int = 1) -> DataFrame:
     """S4 production fetch: batched GETs from inside ``mapInPandas``.
 
     Output contract matches :func:`~fess_ds_s3_spark.operators.extract.
@@ -266,10 +472,21 @@ def fetch_objects(admitted: DataFrame, root: str) -> DataFrame:
     - ``_fetched`` — true on success, null on a missing key so
       ``route_fetch_miss`` routes the row to E2 (NoSuchKeyException).
 
-    The per-batch loop is I/O (one GET per admitted row, as in the
-    reference); CPU-side work stays vectorized downstream. The admitted
-    batch is budget-bounded, so total GETs per round = admissions.
+    ``fetch_concurrency``: bounded per-task GET thread pool — the X1 analog
+    of the reference's ``fixedThreadPool(number_of_threads)`` fanning out
+    per-object fetches (AmazonS3DataStore.java:173-174,421-427). Against a
+    remote store a GET is latency-bound (~50 ms), so a serial task caps at
+    ~20 objects/s; the pool overlaps round-trips (results keep row order —
+    the pool maps, it does not reorder). Default 1 = the reference's
+    default ``number_of_threads``. Per-round GET totals stay bounded by
+    admissions; global concurrency ≤ tasks × fetch_concurrency.
+
+    CPU-side work stays vectorized downstream; the admitted batch is
+    budget-bounded, so total GETs per round = admissions.
     """
+    spec = as_store_spec(root)
+    if fetch_concurrency < 1:
+        raise ValueError("fetch_concurrency must be >= 1")
     base = [f for f in admitted.schema.fields
             if f.name not in ("content", "resp_content_type", "_fetched")]
     carry = [f.name for f in base]
@@ -280,25 +497,32 @@ def fetch_objects(admitted: DataFrame, root: str) -> DataFrame:
     ])
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        store = FsObjectStore(root)
-        for pdf in batches:
-            contents: list[bytes | None] = []
-            ctypes: list[str | None] = []
-            fetched: list[bool | None] = []
-            for bucket, key in zip(pdf["bucket"], pdf["key"]):
-                try:
-                    data, ctype = store.get_object(bucket, key)
-                    contents.append(data)
-                    ctypes.append(ctype)
-                    fetched.append(True)
-                except NoSuchKeyError:
-                    contents.append(None)
-                    ctypes.append(None)
-                    fetched.append(None)
-            out = pdf[carry].copy()
-            out["content"] = contents
-            out["resp_content_type"] = ctypes
-            out["_fetched"] = pd.array(fetched, dtype="boolean")
-            yield out
+        store = spec.connect()
+
+        def one(bucket: str, key: str):
+            try:
+                data, ctype = store.get_object(bucket, key)
+                return data, ctype, True
+            except NoSuchKeyError:
+                return None, None, None
+
+        pool = (ThreadPoolExecutor(max_workers=fetch_concurrency)
+                if fetch_concurrency > 1 else None)
+        try:
+            for pdf in batches:
+                pairs = list(zip(pdf["bucket"], pdf["key"]))
+                if pool is not None:
+                    results = list(pool.map(lambda bk: one(*bk), pairs))
+                else:
+                    results = [one(*bk) for bk in pairs]
+                out = pdf[carry].copy()
+                out["content"] = [r[0] for r in results]
+                out["resp_content_type"] = [r[1] for r in results]
+                out["_fetched"] = pd.array([r[2] for r in results],
+                                           dtype="boolean")
+                yield out
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     return admitted.mapInPandas(_fetch, out_schema)

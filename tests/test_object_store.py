@@ -266,3 +266,181 @@ class TestEndpointOverride:
                                     encode_urls=False)
         f_hosts = {r.host for r in frontier.select("host").collect()}
         assert hosts <= f_hosts
+
+
+class TestStoreSpecs:
+    def test_as_store_spec_normalization(self, tmp_path):
+        from fess_ds_s3_spark.sources.object_store import (FsStoreSpec,
+                                                           as_store_spec)
+        spec = as_store_spec(str(tmp_path))
+        assert isinstance(spec, FsStoreSpec)
+        assert as_store_spec(spec) is spec
+        with pytest.raises(TypeError):
+            as_store_spec(42)
+
+    def test_specs_are_picklable(self, tmp_path):
+        import pickle
+        from fess_ds_s3_spark.sources.object_store import (FsStoreSpec,
+                                                           LatencyFsStoreSpec,
+                                                           S3StoreSpec)
+        for spec in (FsStoreSpec(str(tmp_path)),
+                     LatencyFsStoreSpec(str(tmp_path), 0.01),
+                     S3StoreSpec(region=REGION, endpoint="http://m:9000")):
+            assert pickle.loads(pickle.dumps(spec)) == spec
+
+    def test_latency_spec_round_equals_fs_spec(self, spark, store):
+        """The latency test double is output-transparent: a round through
+        LatencyFsStoreSpec produces exactly the FsStoreSpec rows."""
+        from fess_ds_s3_spark.sources.object_store import LatencyFsStoreSpec
+        cfg = CrawlConfig(region=REGION)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        plain = round_plan.run_round(frontier, cfg,
+                                     object_store_root=store.root)
+        lat = round_plan.run_round(
+            frontier, cfg,
+            object_store_root=LatencyFsStoreSpec(store.root, 0.001))
+        cols = ["url", "status", "contents", "mimetype"]
+        assert sorted(map(tuple, plain.processed.select(*cols).collect())) \
+            == sorted(map(tuple, lat.processed.select(*cols).collect()))
+
+
+class TestFetchConcurrency:
+    def _admitted(self, spark, store, n_rows):
+        from fess_ds_s3_spark.operators.filters import with_status_columns
+        cfg = CrawlConfig(region=REGION)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        # replicate rows so one task holds n_rows GETs
+        reps = spark.range(n_rows // 10 + 1).select(
+            F.col("id").alias("rep"))
+        many = (round_plan.prepare_frontier(frontier, cfg)
+                .crossJoin(reps).limit(n_rows).repartition(1))
+        return with_status_columns(many)
+
+    def test_pool_overlaps_get_latency(self, spark, store):
+        """Against a 100 ms/GET store, a 32-thread pool gives ≥8× per-task
+        speedup over the serial loop (the reference's fixedThreadPool
+        intent, AmazonS3DataStore.java:421-427) with identical outputs."""
+        import time as _t
+        from fess_ds_s3_spark.sources.object_store import LatencyFsStoreSpec
+        admitted = self._admitted(spark, store, 96).persist()
+        admitted.count()
+        spec = LatencyFsStoreSpec(store.root, 0.1)
+        t0 = _t.time()
+        serial = fetch_objects(admitted, spec, fetch_concurrency=1)
+        serial_rows = sorted(
+            (r.key, bytes(r.content) if r.content is not None else None)
+            for r in serial.collect())
+        serial_s = _t.time() - t0
+        t0 = _t.time()
+        conc = fetch_objects(admitted, spec, fetch_concurrency=32)
+        conc_rows = sorted(
+            (r.key, bytes(r.content) if r.content is not None else None)
+            for r in conc.collect())
+        conc_s = _t.time() - t0
+        admitted.unpersist()
+        assert conc_rows == serial_rows
+        assert serial_s / conc_s >= 8, (serial_s, conc_s)
+
+    def test_invalid_concurrency_rejected(self, spark, store):
+        with pytest.raises(ValueError):
+            fetch_objects(spark.range(1), store.root, fetch_concurrency=0)
+
+
+class TestS3Adapter:
+    """boto3 adapter driven through botocore's Stubber (no network): the
+    same protocol surface as FsObjectStore — paged listing with StartAfter,
+    get_object with ContentType, NoSuchKey → NoSuchKeyError."""
+
+    def _client(self):
+        import boto3
+        return boto3.client("s3", region_name=REGION,
+                            aws_access_key_id="k", aws_secret_access_key="s")
+
+    def test_client_kwargs_mapping(self):
+        from fess_ds_s3_spark.sources.object_store import s3_client_kwargs
+        cfg = CrawlConfig(region="eu-west-1",
+                          endpoint="http://minio.local:9000",
+                          access_key_id="AK", secret_key="SK",
+                          proxy_host="proxy", proxy_port="8080")
+        kw = s3_client_kwargs(cfg)
+        assert kw["region_name"] == "eu-west-1"
+        assert kw["endpoint_url"] == "http://minio.local:9000"
+        assert kw["aws_access_key_id"] == "AK"
+        assert kw["aws_secret_access_key"] == "SK"
+        assert kw["config_proxies"] == {"http": "http://proxy:8080",
+                                        "https": "http://proxy:8080"}
+        minimal = s3_client_kwargs(CrawlConfig(region=REGION))
+        assert minimal == {"region_name": REGION}
+
+    def test_get_object_and_nosuchkey(self):
+        import io
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import S3ObjectStore
+        client = self._client()
+        stub = Stubber(client)
+        stub.add_response(
+            "get_object",
+            {"Body": io.BytesIO(b"hogehoge"), "ContentType": "text/plain"},
+            {"Bucket": "fess", "Key": "a.txt"})
+        stub.add_client_error(
+            "get_object", service_error_code="NoSuchKey",
+            expected_params={"Bucket": "fess", "Key": "nope.txt"})
+        store = S3ObjectStore(client)
+        with stub:
+            assert store.get_object("fess", "a.txt") == \
+                (b"hogehoge", "text/plain")
+            with pytest.raises(NoSuchKeyError):
+                store.get_object("fess", "nope.txt")
+
+    def test_listing_keyset_pagination(self):
+        from datetime import datetime, timezone
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import S3ObjectStore
+        ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+        client = self._client()
+        stub = Stubber(client)
+        stub.add_response(
+            "list_objects_v2",
+            {"IsTruncated": True,
+             "Contents": [
+                 {"Key": "a", "Size": 1, "ETag": '"e1"', "LastModified": ts,
+                  "StorageClass": "STANDARD"},
+                 {"Key": "b", "Size": 2, "ETag": '"e2"', "LastModified": ts},
+             ]},
+            {"Bucket": "fess", "Prefix": "", "StartAfter": "", "MaxKeys": 2})
+        stub.add_response(
+            "list_objects_v2",
+            {"IsTruncated": False,
+             "Contents": [
+                 {"Key": "c", "Size": 3, "ETag": '"e3"', "LastModified": ts},
+             ]},
+            {"Bucket": "fess", "Prefix": "", "StartAfter": "b", "MaxKeys": 2})
+        store = S3ObjectStore(client)
+        with stub:
+            page1, nxt1 = store.list_objects("fess", max_keys=2)
+            assert [e["key"] for e in page1] == ["a", "b"]
+            assert page1[0]["etag"] == "e1"  # quotes stripped
+            assert page1[1]["storage_class"] == "STANDARD"  # defaulted
+            assert nxt1 == "b"
+            page2, nxt2 = store.list_objects("fess", start_after=nxt1,
+                                             max_keys=2)
+            assert [e["key"] for e in page2] == ["c"]
+            assert nxt2 is None
+
+    def test_buckets(self):
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import S3ObjectStore
+        client = self._client()
+        stub = Stubber(client)
+        stub.add_response("list_buckets",
+                          {"Buckets": [{"Name": "zz"}, {"Name": "aa"}]}, {})
+        with stub:
+            assert S3ObjectStore(client).buckets() == ["aa", "zz"]
+
+    def test_spec_from_config_validates(self):
+        from fess_ds_s3_spark.sources.object_store import S3StoreSpec
+        spec = S3StoreSpec.from_config(
+            CrawlConfig(region=REGION, access_key_id="k", secret_key="s"))
+        assert spec.region == REGION and spec.access_key_id == "k"

@@ -220,3 +220,51 @@ class TestRoundIntegration:
         assert got == {"x": 3, "y": 2, "z": 7}
         assert merge_host_budgets(None, a) is a
         assert merge_host_budgets(a, None) is a
+
+
+class TestBroadcastSizeGate:
+    def test_shuffle_join_path_identical_routing(self, spark):
+        """Past ROBOTS_BROADCAST_MAX_BYTES the rules join falls back to a
+        plain shuffle join; routing must be identical to the broadcast
+        path, and the gated plan must not contain a broadcast exchange of
+        the rules dim."""
+        cfg = CrawlConfig(region="r")
+        bodies = spark.createDataFrame(
+            [(f"h{i}.com",
+              "User-agent: *\nDisallow: /deny/\nAllow: /deny/ok\n")
+             for i in range(20)],
+            "host string, body string")
+        rules = robots.robots_rules_table(bodies)
+        frontier = spark.createDataFrame(
+            [(f"h{i % 20}.com",
+              f"https://h{i % 20}.com/" + ("deny/x" if i % 3 == 0 else
+                                           "deny/ok" if i % 3 == 1 else
+                                           "fine"))
+             for i in range(120)],
+            "host string, url string")
+        f = with_status_columns(frontier)
+        via_broadcast = robots.apply_robots_filter(f, rules, cfg)
+        via_shuffle = robots.apply_robots_filter(
+            f, rules, cfg, rules_bytes=robots.ROBOTS_BROADCAST_MAX_BYTES + 1)
+        cols = ["url", "status", "discard_reason"]
+        assert sorted(map(tuple, via_broadcast.select(*cols).collect())) == \
+            sorted(map(tuple, via_shuffle.select(*cols).collect()))
+        plan_b = via_broadcast._jdf.queryExecution().executedPlan().toString()
+        plan_s = via_shuffle._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+        assert "BroadcastHashJoin" not in plan_s
+
+    def test_driver_metadata_carries_body_bytes(self, spark, tmp_path):
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        cfg = CrawlConfig(region="r", respect_robots=True,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        bodies = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /x\n")],
+            "host string, body string")
+        driver.install_robots(bodies)
+        meta = driver.robots.metadata()
+        assert meta["n_hosts"] == 1
+        assert meta["body_bytes"] == len("User-agent: *\nDisallow: /x\n")
+        rules, rules_bytes = driver._robots_rules()
+        assert rules_bytes == meta["body_bytes"]
