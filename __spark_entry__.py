@@ -327,9 +327,10 @@ def q_fetch_store(spark, sf_dir):
         F.md5("contents").alias("contents_md5"))
 
 
-def q_admission_round1(spark, sf_dir):
-    """Flagship: one full scheduling round — seen anti-join → per-host
-    ranking → budget admission → filter chain routing (F1+F3)."""
+def _routed_round1(spark, sf_dir):
+    """Flagship routed frame with ALL frontier columns (bucket/key/doc_id
+    kept so derived entries — stats, counts — can project what they need):
+    seen anti-join → per-host ranking → budget admission → filter chain."""
     cfg = CrawlConfig(region=REGION, include_pattern=_INCLUDE,
                       exclude_pattern=_EXCLUDE, max_size=_MAX_SIZE)
     f = _frontier(spark, sf_dir)
@@ -341,10 +342,15 @@ def q_admission_round1(spark, sf_dir):
         ("priority", "url"))
     admitted = (ranked.filter(F.col("host_rank") <= F.col("budget"))
                 .drop("budget"))
-    routed = flt.apply_max_size_guard(
+    return flt.apply_max_size_guard(
         flt.apply_url_filter(flt.with_status_columns(admitted), cfg), cfg)
-    return routed.select("host", "host_rank", "url", "status",
-                         "discard_reason", "error_name")
+
+
+def q_admission_round1(spark, sf_dir):
+    """Flagship: one full scheduling round — seen anti-join → per-host
+    ranking → budget admission → filter chain routing (F1+F3)."""
+    return _routed_round1(spark, sf_dir).select(
+        "host", "host_rank", "url", "status", "discard_reason", "error_name")
 
 
 def q_status_counts(spark, sf_dir):
@@ -374,14 +380,28 @@ def q_union_dedup(spark, sf_dir):
 
 
 def q_stats_events(spark, sf_dir):
-    """S7: reference stats taxonomy (FINISHED/discard/ACCESS_EXCEPTION)."""
-    routed = q_admission_round1(spark, sf_dir)
-    action = (F.when(F.col("status") == "pending", F.lit("FINISHED"))
-              .when(F.col("status") == "discarded", F.lit("discard"))
-              .otherwise(F.lit("ACCESS_EXCEPTION")))
-    return (routed.select(action.alias("action"))
-            .groupBy("action").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("action"))
+    """S7 — ORACLE-CHECKED at row level through the REAL ``stats_events``
+    operator (plans/lineage.py): key = ``bucket@key``
+    (AmazonS3DataStore.java:196), full four-action taxonomy — FINISHED /
+    discard / ACCESS_EXCEPTION / EXCEPTION. The reference's two catch arms
+    (:279-287) are exercised by splitting the flagship's size failures:
+    even doc_ids are relabeled as extraction errors (the generic-throwable
+    arm → EXCEPTION), odd keep MaxLengthExceededException (crawling-access
+    arm → ACCESS_EXCEPTION)."""
+    from fess_ds_s3_spark.plans import lineage as lineage_ops
+    routed = _routed_round1(spark, sf_dir)
+    failed = F.col("status") == "failed"
+    routed = (
+        routed
+        .withColumn("status", F.when(F.col("status") == "pending",
+                                     F.lit("stored"))
+                    .otherwise(F.col("status")))
+        .withColumn("error_name",
+                    F.when(failed & (F.col("doc_id") % 2 == 0),
+                           F.lit("ExtractException"))
+                    .otherwise(F.col("error_name")))
+        .withColumnRenamed("bucket", "bucket_name"))
+    return lineage_ops.stats_events(routed, round_id=1)
 
 
 def q_script_projection(spark, sf_dir):
@@ -767,7 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     budget = _BUDGET_SQL
-    flagship = FRONTIER_CTE + f""",
+    admitted_ctes = FRONTIER_CTE + f""",
     unseen AS (
       SELECT * FROM frontier WHERE NOT EXISTS (
         SELECT 1 FROM frontier s
@@ -781,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
     admitted AS (
       SELECT * FROM ranked WHERE host_rank <= {budget}
     )
+    """
+    flagship = admitted_ctes + f"""
     SELECT host, host_rank, url,
            CASE WHEN NOT regexp_matches(url, '^(?:{_INCLUDE})$')
                      OR regexp_matches(url, '^(?:{_EXCLUDE})$')
@@ -955,12 +977,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT bucket, url FROM frontier
                 WHERE doc_id >= 100 AND doc_id < 350))
             GROUP BY bucket ORDER BY bucket""",
-        "stats_events": f"WITH routed AS ({flagship}) " + """
-            SELECT CASE WHEN status = 'pending' THEN 'FINISHED'
-                        WHEN status = 'discarded' THEN 'discard'
-                        ELSE 'ACCESS_EXCEPTION' END AS action,
-                   count(*) AS n
-            FROM routed GROUP BY 1 ORDER BY action""",
+        # row-level stats through the real stats_events operator: E1
+        # discards → 'discard', size failures split into the two reference
+        # catch arms (even doc_id relabeled ExtractException → EXCEPTION,
+        # odd → ACCESS_EXCEPTION), everything else FINISHED
+        "stats_events": admitted_ctes + f"""
+            SELECT bucket || '@' || key AS stats_key,
+                   CASE WHEN NOT regexp_matches(url, '^(?:{_INCLUDE})$')
+                             OR regexp_matches(url, '^(?:{_EXCLUDE})$')
+                        THEN 'discard'
+                        WHEN size > {_MAX_SIZE} AND doc_id % 2 = 0
+                        THEN 'EXCEPTION'
+                        WHEN size > {_MAX_SIZE} THEN 'ACCESS_EXCEPTION'
+                        ELSE 'FINISHED' END AS action,
+                   CAST(1 AS INT) AS round
+            FROM admitted""",
         "script_projection": FRONTIER_CTE + """
             SELECT key AS title, url, doc_id,
                    CAST(size / 1000.0 AS DOUBLE) AS size_kb

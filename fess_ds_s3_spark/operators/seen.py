@@ -305,12 +305,21 @@ def maybe_seen_auto(frontier: DataFrame, blooms: DataFrame, cfg: CrawlConfig,
     any caller can derive it from config via :func:`bloom_size_bytes`), the
     strategy choice costs ZERO Spark jobs. When absent, it falls back to
     ``cfg`` sizing (still job-free) — the per-round ``first()+count()``
-    probe this function used to run added fixed driver latency × n_rounds."""
+    probe this function used to run added fixed driver latency × n_rounds.
+
+    The estimate is re-checked against the ACTUAL collected payload: a
+    blooms table built under a different config than ``cfg`` (e.g. a resume
+    after changing ``bloom_expected``/``seen_partitions``) can dwarf the
+    estimate, and the collect has already paid the driver-memory cost — but
+    re-broadcasting it to every executor would multiply the damage, so an
+    estimate that undershoots falls back to the cogrouped streaming probe."""
     if size_bytes is None:
         size_bytes = bloom_size_bytes(cfg)
     if size_bytes <= BLOOM_BROADCAST_MAX_BYTES:
-        return bloom_maybe_seen_broadcast(frontier, blooms.collect(),
-                                          cfg, url, flag)
+        rows = blooms.collect()
+        actual = sum(len(r["bits"]) for r in rows)
+        if actual <= BLOOM_BROADCAST_MAX_BYTES:
+            return bloom_maybe_seen_broadcast(frontier, rows, cfg, url, flag)
     return bloom_maybe_seen(frontier, blooms, cfg, url, flag)
 
 

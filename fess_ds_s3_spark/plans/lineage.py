@@ -62,10 +62,18 @@ def partition_lineage(df: DataFrame, round_id: int) -> DataFrame:
 def stats_events(processed: DataFrame, round_id: int) -> DataFrame:
     """S7 stats rows: one (stats_key, action, round) per document, in the
     reference's taxonomy — key is ``bucket@key`` (AmazonS3DataStore.java:196),
-    action ∈ {FINISHED, discard, ACCESS_EXCEPTION}."""
+    action ∈ {FINISHED, discard, ACCESS_EXCEPTION, EXCEPTION}: crawling-
+    access failures (missing key, max-length) record ACCESS_EXCEPTION while
+    generic throwables — extraction errors escalated by ``ignore_error=
+    false`` — record EXCEPTION, matching the reference's two catch arms
+    (AmazonS3DataStore.java:279-287)."""
+    from fess_ds_s3_spark.operators.extract import ERROR_EXTRACT
+    failed = F.col("status") == STATUS_FAILED
     action = (
         F.when(F.col("status") == STATUS_STORED, F.lit("FINISHED"))
         .when(F.col("status") == STATUS_DISCARDED, F.lit("discard"))
+        .when(failed & (F.col("error_name") == ERROR_EXTRACT),
+              F.lit("EXCEPTION"))
         .otherwise(F.lit("ACCESS_EXCEPTION")))
     return processed.select(
         F.concat_ws("@", "bucket_name", "key").alias("stats_key"),

@@ -285,3 +285,25 @@ class TestDriverActionDiet:
         summary = driver.run_round(1, docs=docs)
         assert calls == []
         assert summary.admitted > 0
+
+
+class TestStatsTaxonomy:
+    def test_exception_vs_access_exception(self, spark):
+        """The reference's two catch arms (AmazonS3DataStore.java:279-287):
+        crawling-access failures (NoSuchKey, MaxLength) record
+        ACCESS_EXCEPTION; generic throwables (ExtractException escalated by
+        ignore_error=false) record EXCEPTION."""
+        from fess_ds_s3_spark.plans.lineage import stats_events
+        rows = spark.createDataFrame(
+            [("b", "k1", "stored", None),
+             ("b", "k2", "discarded", None),
+             ("b", "k3", "failed", "NoSuchKeyException"),
+             ("b", "k4", "failed", "MaxLengthExceededException"),
+             ("b", "k5", "failed", "ExtractException")],
+            "bucket_name string, key string, status string, "
+            "error_name string")
+        got = {r.stats_key: r.action
+               for r in stats_events(rows, round_id=7).collect()}
+        assert got == {"b@k1": "FINISHED", "b@k2": "discard",
+                       "b@k3": "ACCESS_EXCEPTION",
+                       "b@k4": "ACCESS_EXCEPTION", "b@k5": "EXCEPTION"}

@@ -178,6 +178,32 @@ class TestParameterMismatch:
         assert out.filter(~F.col("maybe_seen")).count() == 0  # no false negs
 
 
+    def test_undershot_estimate_falls_back_to_cogroup(self, spark, cfg,
+                                                      monkeypatch):
+        """ADVICE r3: a caller-supplied size estimate that is badly wrong
+        (e.g. a blooms table resumed under a different config) must not be
+        broadcast — the actual collected payload is re-checked and the
+        probe falls back to the cogrouped path, with identical flags."""
+        urls = _urls(spark, 200)
+        seen = urls.limit(60)
+        blooms = seen_ops.build_bloom(seen, cfg)
+        expected = sorted(
+            r.canonical_url for r in seen_ops.maybe_seen_auto(
+                urls, blooms, cfg).filter("maybe_seen").collect())
+        # force: estimate passes the gate, actual payload exceeds it
+        monkeypatch.setattr(seen_ops, "BLOOM_BROADCAST_MAX_BYTES", 64)
+        broadcast_calls = []
+        orig = seen_ops.bloom_maybe_seen_broadcast
+        monkeypatch.setattr(
+            seen_ops, "bloom_maybe_seen_broadcast",
+            lambda *a, **k: broadcast_calls.append(1) or orig(*a, **k))
+        out = seen_ops.maybe_seen_auto(urls, blooms, cfg, size_bytes=1)
+        got = sorted(r.canonical_url
+                     for r in out.filter("maybe_seen").collect())
+        assert broadcast_calls == []  # guard rejected the undershot estimate
+        assert got == expected
+
+
 class TestCuckooFilterUnseen:
     def test_equals_exact_anti_join(self, spark, cfg):
         frontier = _urls(spark, 300)
