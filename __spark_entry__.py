@@ -81,7 +81,12 @@ WITH frontier AS (
 )
 """
 
-#: per-host politeness budget derivable in both engines: (src# % 5) + 1
+#: per-host politeness budget derivable in both engines: the concatenation
+#: of ALL digits in the host, as an int, % 5 + 1. NOTE this includes the
+#: digits of ".s3." and the region, not just the src number — e.g. host
+#: src0.s3.us-east-1.amazonaws.com → digits "031" → 31 % 5 + 1 = 2. Both
+#: engines evaluate the identical expression, so the exact digit soup is
+#: irrelevant to the oracle — what matters is budgets VARY per host (1-5).
 def _budget_spark():
     return F.regexp_replace(F.col("host"), F.lit(r"[^0-9]"),
                             F.lit("")).cast("int") % 5 + 1
@@ -286,23 +291,29 @@ def _ensure_store(spark, sf_dir: str) -> str:
     """Materialize the deterministic object-store fixture for this SF once:
     objects exist for doc_id % 7 == 0 (the ``fetch_join`` payload rule) at
     the frontier's (bucket, key), bytes = the doc text, Content-Type from
-    the lang→mime rule. Driver-side build loop is fixture setup only — the
-    queried path (listing/fetch) is fully distributed."""
+    the lang→mime rule. Built with a ``foreachPartition`` write (each task
+    writes its slice through the store client — local mode shares the
+    filesystem) so large SFs build in parallel; the ``_done`` marker makes
+    the build once-per-SF."""
     import os
-    from fess_ds_s3_spark.sources.object_store import FsObjectStore
     root = _store_root(sf_dir)
     done = f"{root}/_done"
     if os.path.exists(done):
         return root
-    store = FsObjectStore(root)
-    mime = {"en": "text/plain", "zh": "text/html"}
-    rows = (_docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
-            .select("doc_id", "source", "lang", "text").toLocalIterator())
-    for r in rows:
-        key = f"docs/{r.lang}/{r.doc_id:010d}.txt"
-        store.put_object(r.source, key, r.text.encode("utf-8"),
-                         content_type=mime.get(r.lang,
-                                               "application/octet-stream"))
+
+    def _write_partition(rows):
+        from fess_ds_s3_spark.sources.object_store import FsObjectStore
+        store = FsObjectStore(root)
+        mime = {"en": "text/plain", "zh": "text/html"}
+        for r in rows:
+            key = f"docs/{r.lang}/{r.doc_id:010d}.txt"
+            store.put_object(r.source, key, r.text.encode("utf-8"),
+                             content_type=mime.get(
+                                 r.lang, "application/octet-stream"))
+
+    (_docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+     .select("doc_id", "source", "lang", "text")
+     .foreachPartition(_write_partition))
     open(done, "w").write("ok")
     return root
 
@@ -534,7 +545,12 @@ def q_ann_lsh(spark, sf_dir):
     (cos = 1.0, the unique maximum on this corpus). The query emits the
     ANN top-1 AND agreement with the in-query brute-force top-1
     (``matches_exact``) — both SQL-derivable: top1 = the clone, cos = 1,
-    agreement = true. Distribution-recall (non-planted) stays pinned in
+    agreement = true. Tie-safety (ADVICE r3): the vec_id-ascending
+    tie-break could only prefer a non-clone if some corpus vector tied the
+    clone's cos 1.0; the testdata fixture is verified tie-free — the max
+    cross-pair cosine among these queries is < 0.50 at every SF (DuckDB
+    all-pairs check), far below the 0.9999995 rounding tie threshold.
+    Distribution-recall (non-planted) stays pinned in
     tests/test_similarity.py against the exact baseline."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = 64  # fixed embedding width in the testdata schema (all SFs);
@@ -729,6 +745,37 @@ def q_spans_roundtrip(spark, sf_dir):
         F.size(links_from_spans("spans")).alias("n_links"))
 
 
+def q_multiround_crawl(spark, sf_dir):
+    """S5/S6/S7/X3 — the DRIVER STACK, gate-checked end to end: a real
+    ``CrawlDriver`` crawl (3 rounds, metadata-only, bloom seen-set, salted
+    politeness, per-host budgets, snapshot sinks + rounds ledger) into a
+    fresh warehouse; the output is the committed stats rows read back
+    through the crash-safe ledgered-snapshot path (``read_committed``).
+
+    SQL-derivable because scheduling over a STATIC frontier admits
+    budget-slices per host in the deterministic rank order (priority, url):
+    the row ranked ``rk`` within its host is admitted in round
+    ``floor((rk-1)/budget)``, and the filter chain routes it exactly like
+    the flagship (E1 url_filter discard → E2 max-size ACCESS_EXCEPTION →
+    FINISHED). Every admitted URL enters the seen-set regardless of
+    routing, so rounds never re-admit."""
+    import tempfile
+    from fess_ds_s3_spark.plans.crawl import CrawlDriver
+    cfg = CrawlConfig(region=REGION, include_pattern=_INCLUDE,
+                      exclude_pattern=_EXCLUDE, max_size=_MAX_SIZE,
+                      bloom_expected=100_000, seen_partitions=8)
+    f = _frontier(spark, sf_dir).withColumn(
+        "discovery_time", F.to_timestamp(F.lit("2020-01-01")))
+    budgets = (f.select("host").distinct()
+               .select("host", _budget_spark().alias("budget_per_round")))
+    warehouse = tempfile.mkdtemp(prefix="graft-multiround-")
+    driver = CrawlDriver(spark, warehouse, cfg)
+    driver.seed(f)
+    driver.run(3, host_budgets=budgets)
+    return driver.read_committed("stats").select("stats_key", "action",
+                                                 "round")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -782,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "robots_filter": q_robots_filter,
         "ivf_topk": q_ivf_topk,
+        "multiround_crawl": q_multiround_crawl,
     }
 
 
@@ -1291,4 +1339,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS top1_cos,
                    TRUE AS matches_exact
             FROM embeddings WHERE vec_id < 5""",
+        # driver stack: a static frontier admits budget-slices per host in
+        # rank order, so round = floor((host_rank - 1) / budget); routing
+        # per admitted row is the flagship chain (E1 discard → E2 size)
+        "multiround_crawl": FRONTIER_CTE + f""",
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                  PARTITION BY host ORDER BY priority, url) AS INT) AS rk
+              FROM frontier
+            ),
+            adm AS (
+              SELECT *, CAST(floor((rk - 1) / {budget}) AS INT) AS round
+              FROM ranked
+              WHERE floor((rk - 1) / {budget}) < 3
+            )
+            SELECT bucket || '@' || key AS stats_key,
+                   CASE WHEN NOT regexp_matches(url, '^(?:{_INCLUDE})$')
+                             OR regexp_matches(url, '^(?:{_EXCLUDE})$')
+                        THEN 'discard'
+                        WHEN size > {_MAX_SIZE} THEN 'ACCESS_EXCEPTION'
+                        ELSE 'FINISHED' END AS action,
+                   round
+            FROM adm""",
     }

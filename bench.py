@@ -73,6 +73,8 @@ RUNS_PER_REP = int(os.environ.get("SPARK_GRAFT_RUNS_PER_REP", "2"))
 #: and a warm 4N run is ~3x cheaper than an N run, so the cheap side gets
 #: the extra floor-finding samples; estimator stays min-per-core-count
 RUNS_PER_REP_4N = int(os.environ.get("SPARK_GRAFT_RUNS_PER_REP_4N", "4"))
+#: timed interleaved rounds per headline query (min is reported)
+HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
 BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
@@ -266,7 +268,13 @@ def _membw_unit(_):
 # headline queries
 # ---------------------------------------------------------------------------
 
-def _run_headline() -> tuple[dict, float]:
+def _run_headline() -> tuple[dict, dict, float]:
+    """Headline queries with the SAME best-of-N warm methodology as the
+    scaling reps (r3 verdict: single-run per-query numbers wobbled with the
+    host's ~5× noise): after one untimed sf0.001 warmup pass, every query
+    runs HEADLINE_RUNS times in interleaved rounds (q1..qk, q1..qk, …) and
+    the reported figure is the per-query minimum; the per-run lists ride
+    the JSON under ``queries_runs``."""
     import __spark_entry__ as entry_mod
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -279,17 +287,19 @@ def _run_headline() -> tuple[dict, float]:
         qs[name](spark, "/root/testdata/sf0.001").count()
     print(f"# warmup (sf0.001, untimed): {time.time() - t0:.2f}s",
           file=sys.stderr)
-    timings = {}
-    total = 0.0
-    for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for i in range(HEADLINE_RUNS):
+        for name in HEADLINE:
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            runs[name].append(round(dt, 3))
+            print(f"# run {i + 1} {name}: {n} rows in {dt:.2f}s",
+                  file=sys.stderr)
+    timings = {name: min(times) for name, times in runs.items()}
+    total = sum(timings.values())
     spark.stop()
-    return timings, total
+    return timings, runs, total
 
 
 def main():
@@ -300,9 +310,9 @@ def main():
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1":
-        timings, total = {}, 0.0  # local iteration on the scaling job only
+        timings, runs, total = {}, {}, 0.0  # iterate on the scaling job only
     else:
-        timings, total = _run_headline()
+        timings, runs, total = _run_headline()
 
     result = {
         "metric": "headline query wall time at sf (queries) + URLs "
@@ -310,6 +320,9 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-run samples behind the minima (best-of-N warm, interleaved)
+        "queries_runs": runs,
+        "headline_runs": HEADLINE_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

@@ -373,9 +373,16 @@ class CrawlDriver:
             obs_links = Observation()
             candidates = candidates.observe(
                 obs_links, F.count(F.lit(1)).alias("n"))
-            self.frontier.append(candidates, {"round": round_id + 1,
+            link_snap = self.frontier.append(candidates,
+                                             {"round": round_id + 1,
                                               "kind": "links"})
             new_links = int(obs_links.get["n"])
+            if new_links == 0:
+                # the count rides the append's Observation (no second job
+                # recomputing link extraction), so a link-less round is only
+                # known AFTER the append — drop the empty delta rather than
+                # churn a snapshot + small files per round on long crawls
+                self.frontier.drop_if_current(link_snap)
         frontier_snap = self.frontier.current_snapshot_id()
 
         # 6. round ledger — THE commit point

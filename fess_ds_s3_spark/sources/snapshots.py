@@ -136,6 +136,24 @@ class SnapshotTable:
                   metadata: dict[str, Any] | None = None) -> int:
         return self._new(df, "overwrite", metadata)
 
+    def drop_if_current(self, snapshot_id: int) -> bool:
+        """Undo an append that turned out useless (e.g. an empty
+        link-candidate delta): drop ``snapshot_id`` iff it is still the
+        CURRENT snapshot — i.e. nothing committed after it and no ledger
+        references it yet — resetting current to its parent. Returns
+        whether the snapshot was dropped. The delta's data directory stays
+        on disk (unreferenced, like any orphan append); correctness never
+        depends on deleting data files, only on the manifest."""
+        manifest = self._load()
+        snaps = manifest["snapshots"]
+        if (manifest["current"] != snapshot_id or not snaps
+                or snaps[-1]["snapshot_id"] != snapshot_id):
+            return False
+        entry = snaps.pop()
+        manifest["current"] = entry["parent_id"]
+        self._commit(manifest)
+        return True
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         snap = self._snapshot(self._load(), snapshot_id)
         if snap is None or not snap.data_dirs:

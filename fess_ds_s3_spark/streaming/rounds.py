@@ -21,6 +21,12 @@ Semantics mapping:
 For custom *stateful* streaming (e.g. sessionized per-host rate tracking),
 see ``host_rate_state`` below — an ``applyInPandasWithState`` example kept
 deliberately small; the engine's primary state store is the snapshot tables.
+
+CHECKPOINT COMPATIBILITY: 0.3.0 changed ``host_rate_state``'s state schema
+from scalar ``(window_start long, n long)`` to array columns (the
+out-of-order multi-window fix). Structured Streaming state schemas are not
+evolvable in place — a stream resuming from a pre-0.3.0 checkpoint will
+fail or misread state; use a FRESH checkpoint location for 0.3.0 streams.
 """
 
 from __future__ import annotations

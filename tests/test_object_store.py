@@ -444,3 +444,99 @@ class TestS3Adapter:
         spec = S3StoreSpec.from_config(
             CrawlConfig(region=REGION, access_key_id="k", secret_key="s"))
         assert spec.region == REGION and spec.access_key_id == "k"
+
+
+class TestReferenceFixtureThroughS3Adapter:
+    """The reference's own integration fixture (LocalAmazonS3.java:52-64:
+    buckets fess-0/fess-1 × files/sample-{0,1}.txt, bodies
+    hogehoge/hugahuga) driven through the boto3 adapter — stubbed client,
+    real page loop + GET mapping — then the standard round; golden
+    objectMap fields per AmazonS3DataStoreTest.java:83-104."""
+
+    FIXTURE = {("fess-%d" % b, "files/sample-%d.txt" % i):
+               [b"hogehoge", b"hugahuga"][i]
+               for b in (0, 1) for i in (0, 1)}
+
+    def _stubbed_store(self):
+        import io
+        import boto3
+        from datetime import datetime, timezone
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import S3ObjectStore
+        ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+        client = boto3.client("s3", region_name=REGION,
+                              aws_access_key_id="k",
+                              aws_secret_access_key="s")
+        stub = Stubber(client)
+        stub.add_response(
+            "list_buckets",
+            {"Buckets": [{"Name": "fess-0"}, {"Name": "fess-1"}]}, {})
+        # responses queued in the crawl's exact call order: per bucket, one
+        # listing page then a GET per listed key (Stubber is FIFO)
+        for b in ("fess-0", "fess-1"):
+            in_bucket = [(k, body) for (bb, k), body
+                         in sorted(self.FIXTURE.items()) if bb == b]
+            stub.add_response(
+                "list_objects_v2",
+                {"IsTruncated": False,
+                 "Contents": [
+                     {"Key": k, "Size": len(body), "ETag": f'"{k}"',
+                      "LastModified": ts}
+                     for k, body in in_bucket]},
+                {"Bucket": b, "Prefix": "", "StartAfter": "",
+                 "MaxKeys": 1000})
+            for k, body in in_bucket:
+                stub.add_response(
+                    "get_object",
+                    {"Body": io.BytesIO(body),
+                     "ContentType": "application/octet-stream"},
+                    {"Bucket": b, "Key": k})
+        stub.activate()
+        return S3ObjectStore(client)
+
+    def test_golden_object_map_fields(self, spark):
+        store = self._stubbed_store()
+        cfg = CrawlConfig(region=REGION)
+        # the reference crawl shape driver-side: bucket loop → page loop →
+        # GET per key (AmazonS3DataStore.java:144-164), through boto3
+        listing_rows, payload_rows = [], []
+        for b in store.buckets():
+            after = ""
+            while True:
+                entries, nxt = store.list_objects(b, start_after=after,
+                                                  max_keys=cfg.max_keys)
+                for e in entries:
+                    listing_rows.append(
+                        (b, e["key"], e["size"], e["etag"],
+                         e["last_modified"]))
+                    data, ctype = store.get_object(b, e["key"])
+                    payload_rows.append((b, e["key"], data, ctype))
+                if nxt is None:
+                    break
+                after = nxt
+        assert len(listing_rows) == 4
+        frontier = spark.createDataFrame(
+            listing_rows,
+            "bucket string, key string, size long, etag string, "
+            "last_modified timestamp") \
+            .withColumn("priority", F.lit(0)) \
+            .withColumn("discovery_time",
+                        F.to_timestamp(F.lit("2020-01-01")))
+        payloads = spark.createDataFrame(
+            payload_rows,
+            "bucket string, key string, content binary, "
+            "resp_content_type string")
+        result = round_plan.run_round(frontier, cfg, payloads=payloads)
+        rows = {(r.bucket_name, r.key): r for r in result.stored.collect()}
+        assert len(rows) == 4
+        for (b, k), body in self.FIXTURE.items():
+            r = rows[(b, k)]
+            # golden fields (AmazonS3DataStoreTest.java:92-98)
+            assert r.url == f"https://{b}.s3.{REGION}.amazonaws.com/{k}"
+            assert r.mimetype == "text/plain"   # content sniff overrides
+            assert r.filetype == "txt"
+            assert r.contents == body.decode()
+            assert r.filename == k.rsplit("/", 1)[-1]
+            assert r.management_url == (
+                "https://s3.console.aws.amazon.com/s3/object/"
+                f"{b}/{k}?region={REGION}")

@@ -73,3 +73,52 @@ class TestSnapshots:
         b.append(_df(spark, [2]))
         assert [r.v for r in a.read().collect()] == [1]
         assert [r.v for r in b.read().collect()] == [2]
+
+
+class TestDropIfCurrent:
+    def test_drops_only_current_head(self, spark, tmp_path):
+        from fess_ds_s3_spark.sources.snapshots import SnapshotTable
+        t = SnapshotTable(spark, str(tmp_path), "t")
+        s1 = t.append(spark.range(3), {"k": 1})
+        s2 = t.append(spark.range(2), {"k": 2})
+        assert not t.drop_if_current(s1)  # not the head
+        assert t.current_snapshot_id() == s2
+        assert t.drop_if_current(s2)
+        assert t.current_snapshot_id() == s1
+        assert t.read().count() == 3
+        assert not t.drop_if_current(s2)  # already gone
+        s3 = t.append(spark.range(5), {"k": 3})
+        assert s3 == s2  # ids continue from the surviving head
+        assert t.read().count() == 8
+
+    def test_linkless_round_drops_empty_frontier_delta(self, spark,
+                                                       tmp_path):
+        """A docs-enabled round that finds no links must not leave an empty
+        frontier snapshot delta behind (ADVICE r3: snapshot/small-file
+        churn on long crawls)."""
+        from pyspark.sql import functions as F
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        cfg = CrawlConfig(region="r", bloom_expected=1000,
+                          seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        frontier = spark.createDataFrame(
+            [("b", "k1"), ("b", "k2")], "bucket string, key string") \
+            .withColumn("priority", F.lit(0)) \
+            .withColumn("size", F.lit(10).cast("long")) \
+            .withColumn("discovery_time",
+                        F.to_timestamp(F.lit("2020-01-01")))
+        driver.seed(frontier)
+        # spans with no media spans → zero links extracted
+        docs = spark.createDataFrame(
+            [(u, [("text", "hello", None, 0)]) for u in
+             ("https://b.s3.r.amazonaws.com/k1",
+              "https://b.s3.r.amazonaws.com/k2")],
+            "url string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>")
+        before = len(driver.frontier.snapshots())
+        summary = driver.run_round(0, docs=docs)
+        assert summary.new_links == 0
+        assert len(driver.frontier.snapshots()) == before  # no empty delta
+        # ledger still commits and resume still works
+        assert driver.last_round() == 0
