@@ -118,15 +118,23 @@ def fetch_payloads(admitted: DataFrame, payloads: DataFrame) -> DataFrame:
 
 
 def route_fetch_miss(df: DataFrame) -> DataFrame:
-    """E2 fetch-miss routing after :func:`fetch_payloads`: a pending row
-    with no payload → failed(NoSuchKeyException). Runs BEFORE the MIME and
-    size checks, matching the reference's getObject-throws-first order
-    (AmazonS3DataStore.java:212,279-284)."""
+    """E2 fetch-miss routing after :func:`fetch_payloads` /
+    ``fetch_objects``: a pending row with no payload → failed
+    (NoSuchKeyException), and a row whose GET raised some OTHER store error
+    (``_fetch_error`` from the production fetch stage: throttle,
+    permission, transient 5xx past client retries) → failed under that
+    exception's name — the crawl continues, exactly the reference's
+    per-object catch (AmazonS3DataStore.java:279-284). Runs BEFORE the
+    MIME and size checks, matching the getObject-throws-first order
+    (:212)."""
     pending = F.col("status") == STATUS_PENDING
     miss = pending & F.col("_fetched").isNull()
+    err = (F.col("_fetch_error") if "_fetch_error" in df.columns
+           else F.lit(None).cast("string"))
     return (
         df.withColumn("error_name",
-                      F.when(miss, F.lit(ERROR_NO_SUCH_KEY))
+                      F.when(miss, F.coalesce(err,
+                                              F.lit(ERROR_NO_SUCH_KEY)))
                       .otherwise(F.col("error_name")))
         .withColumn("status", F.when(miss, F.lit(STATUS_FAILED))
                     .otherwise(F.col("status")))
@@ -168,7 +176,7 @@ def route_extract(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
                           F.when(F.col("status") == STATUS_PENDING,
                                  F.lit(STATUS_STORED))
                           .otherwise(F.col("status")))
-            .drop("_ext", "_fetched"))
+            .drop("_ext", "_fetched", "_fetch_error"))
 
 
 # ---------------------------------------------------------------------------

@@ -435,6 +435,20 @@ class CrawlDriver:
             canonicalize_url(F.col("url")).alias("canonical_url"),
         )
 
+    def compact_frontier(self, partitions: int | None = None) -> int:
+        """Fold the frontier's per-round link deltas into one compacted
+        snapshot (SnapshotTable.compact). Safe between rounds at any time:
+        scheduling reads the frontier CUMULATIVELY with the ``round <= N``
+        replay filter, and compaction preserves every row (orphan
+        link-candidates included — they were already visible to cumulative
+        reads and stay in-batch-dedup-collapsible). On a long crawl call
+        this every O(10-100) rounds so the per-round frontier scan stops
+        fanning over O(rounds) small-file directories. ``partitions``
+        bounds the compacted file count (e.g. frontier_rows × row_bytes /
+        128 MB)."""
+        return self.frontier.compact(partitions,
+                                     {"round": self.last_round()})
+
     # ----- loop ---------------------------------------------------------------
 
     def run(self, n_rounds: int, payloads: DataFrame | None = None,

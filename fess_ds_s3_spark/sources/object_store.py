@@ -230,6 +230,36 @@ class LatencyFsStoreSpec:
         return _LatencyStore(FsObjectStore(self.root), self.get_latency_s)
 
 
+class _FaultyStore:
+    """Raise a non-NoSuchKey store error (throttle/permission analog) for
+    keys containing a marker — the error-routing test double."""
+
+    def __init__(self, inner, fail_key_marker: str):
+        self._inner = inner
+        self._marker = fail_key_marker
+
+    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+        if self._marker and self._marker in key:
+            raise RuntimeError("SlowDown: reduce request rate")
+        return self._inner.get_object(bucket, key)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+@dataclass(frozen=True)
+class FaultyFsStoreSpec:
+    """FsObjectStore that raises a RuntimeError for GETs whose key contains
+    ``fail_key_marker`` — exercises the per-object store-error → E2
+    failure-row routing (the reference's AmazonServiceException catch,
+    AmazonS3DataStore.java:279-284) without a real flaky store."""
+    root: str
+    fail_key_marker: str
+
+    def connect(self) -> _FaultyStore:
+        return _FaultyStore(FsObjectStore(self.root), self.fail_key_marker)
+
+
 def s3_client_kwargs(cfg: CrawlConfig) -> dict[str, Any]:
     """boto3 ``client('s3', ...)`` kwargs from the validated reference
     parameter surface (AmazonS3Client.java:67-114: region, endpoint
@@ -470,7 +500,14 @@ def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
     - ``content`` (binary) — the object bytes, null on miss;
     - ``resp_content_type`` — the store's Content-Type;
     - ``_fetched`` — true on success, null on a missing key so
-      ``route_fetch_miss`` routes the row to E2 (NoSuchKeyException).
+      ``route_fetch_miss`` routes the row to E2 (NoSuchKeyException);
+    - ``_fetch_error`` — exception class name for OTHER per-object store
+      errors (throttle, permission, transient 5xx): the row routes to E2
+      under that name and the crawl CONTINUES, mirroring the reference's
+      catch of AmazonServiceException per object
+      (AmazonS3DataStore.java:279-284) instead of failing the whole task.
+      The client's own retry policy (boto3 retries transient errors before
+      raising) still applies underneath.
 
     ``fetch_concurrency``: bounded per-task GET thread pool — the X1 analog
     of the reference's ``fixedThreadPool(number_of_threads)`` fanning out
@@ -488,12 +525,14 @@ def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
     if fetch_concurrency < 1:
         raise ValueError("fetch_concurrency must be >= 1")
     base = [f for f in admitted.schema.fields
-            if f.name not in ("content", "resp_content_type", "_fetched")]
+            if f.name not in ("content", "resp_content_type", "_fetched",
+                              "_fetch_error")]
     carry = [f.name for f in base]
     out_schema = StructType(base + [
         StructField("content", BinaryType(), True),
         StructField("resp_content_type", StringType(), True),
         StructField("_fetched", BooleanType(), True),
+        StructField("_fetch_error", StringType(), True),
     ])
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -502,9 +541,11 @@ def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
         def one(bucket: str, key: str):
             try:
                 data, ctype = store.get_object(bucket, key)
-                return data, ctype, True
+                return data, ctype, True, None
             except NoSuchKeyError:
-                return None, None, None
+                return None, None, None, None
+            except Exception as exc:  # per-object store error → E2 row
+                return None, None, None, type(exc).__name__
 
         pool = (ThreadPoolExecutor(max_workers=fetch_concurrency)
                 if fetch_concurrency > 1 else None)
@@ -520,6 +561,7 @@ def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
                 out["resp_content_type"] = [r[1] for r in results]
                 out["_fetched"] = pd.array([r[2] for r in results],
                                            dtype="boolean")
+                out["_fetch_error"] = [r[3] for r in results]
                 yield out
         finally:
             if pool is not None:

@@ -154,6 +154,26 @@ class SnapshotTable:
         self._commit(manifest)
         return True
 
+    def compact(self, partitions: int | None = None,
+                metadata: dict[str, Any] | None = None) -> int:
+        """Fold the cumulative table into ONE data directory (a new
+        overwrite snapshot, ``kind=compaction``): a long-running crawl
+        appends a delta per round, so cumulative reads fan out over O(rounds)
+        directories of small files — compaction resets that to one.
+
+        Only correct for tables read CUMULATIVELY (``read()``), like the
+        crawl frontier. Ledger-delta read paths (``read_deltas`` over
+        ledgered snapshot ids — seen/indexed/failures) are unaffected:
+        their old delta dirs stay on disk and keep resolving.
+
+        ``partitions``: optional repartition before the write so the
+        compacted snapshot has a bounded file count."""
+        df = self.read()
+        if partitions:
+            df = df.repartition(partitions)
+        return self.overwrite(df, {"kind": "compaction",
+                                   **(metadata or {})})
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         snap = self._snapshot(self._load(), snapshot_id)
         if snap is None or not snap.data_dirs:

@@ -540,3 +540,56 @@ class TestReferenceFixtureThroughS3Adapter:
             assert r.management_url == (
                 "https://s3.console.aws.amazon.com/s3/object/"
                 f"{b}/{k}?region={REGION}")
+
+
+class TestFetchConcurrencyWiring:
+    def test_process_passes_number_of_threads(self, spark, store,
+                                              monkeypatch):
+        """plans/round.process must size the per-task GET pool from
+        cfg.number_of_threads (the reference's fixedThreadPool bound)."""
+        from fess_ds_s3_spark.plans import round as rp
+        from fess_ds_s3_spark.sources import object_store as os_mod
+        captured = {}
+        orig = os_mod.fetch_objects
+
+        def spy(admitted, root, *, fetch_concurrency=1):
+            captured["fetch_concurrency"] = fetch_concurrency
+            return orig(admitted, root, fetch_concurrency=fetch_concurrency)
+
+        monkeypatch.setattr(os_mod, "fetch_objects", spy)
+        cfg = CrawlConfig(region=REGION, number_of_threads=7)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        rp.run_round(frontier, cfg,
+                     object_store_root=store.root).processed.count()
+        assert captured["fetch_concurrency"] == 7
+
+
+class TestStoreErrorRouting:
+    def test_per_object_store_error_becomes_failure_row(self, spark, store):
+        """A GET that raises a non-NoSuchKey store error (throttle,
+        permission, transient 5xx past client retries) routes that ROW to
+        E2 failed under the exception's name and the crawl continues —
+        the reference's per-object catch (AmazonS3DataStore.java:279-284),
+        never a task failure."""
+        cfg = CrawlConfig(region=REGION)
+        listing = list_objects_df(spark, store.root, cfg)
+        frontier = _frontier_from_listing(listing)
+        from fess_ds_s3_spark.sources.object_store import FaultyFsStoreSpec
+        spec = FaultyFsStoreSpec(store.root, "doc-2")
+        result = round_plan.run_round(frontier, cfg, object_store_root=spec)
+        rows = {(r.bucket_name, r.key): r
+                for r in result.processed.collect()}
+        assert len(rows) == 10
+        for b in ("fess-0", "fess-1"):
+            bad = rows[(b, "files/doc-2.txt")]
+            assert bad.status == "failed"
+            assert bad.error_name == "RuntimeError"
+            ok = rows[(b, "files/doc-0.txt")]
+            assert ok.status == "stored"
+            assert ok.contents == f"body-{b}-0"
+        # stats taxonomy: store errors are crawling-access failures
+        from fess_ds_s3_spark.plans.lineage import stats_events
+        acts = {r.stats_key: r.action
+                for r in stats_events(result.processed, 0).collect()}
+        assert acts["fess-0@files/doc-2.txt"] == "ACCESS_EXCEPTION"

@@ -122,3 +122,58 @@ class TestDropIfCurrent:
         assert len(driver.frontier.snapshots()) == before  # no empty delta
         # ledger still commits and resume still works
         assert driver.last_round() == 0
+
+
+class TestCompaction:
+    def test_compact_folds_to_one_dir_same_rows(self, spark, table):
+        table.append(_df(spark, [1, 2]))
+        table.append(_df(spark, [3]))
+        table.append(_df(spark, [4, 5]))
+        before = sorted(r.v for r in table.read().collect())
+        snap = table.compact(partitions=1)
+        snaps = {s.snapshot_id: s for s in table.snapshots()}
+        assert len(snaps[snap].data_dirs) == 1  # folded
+        assert sorted(r.v for r in table.read().collect()) == before
+        assert table.metadata(snap)["kind"] == "compaction"
+        # time travel to pre-compaction snapshots still works
+        assert sorted(r.v for r in table.read(2).collect()) == [1, 2, 3]
+
+    def test_crawl_resumes_identically_across_compaction(self, spark,
+                                                         tmp_path):
+        """compact_frontier between rounds must not change what later
+        rounds admit: run rounds 0-1, compact, run round 2; compare the
+        committed stats set to an uncompacted twin crawl."""
+        from pyspark.sql import functions as F
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+
+        def frontier(n):
+            return (spark.range(n)
+                    .select(F.lit("b").alias("bucket"),
+                            F.format_string("k/%03d", F.col("id"))
+                            .alias("key"),
+                            F.lit(20).cast("long").alias("size"),
+                            (F.col("id") % 3).cast("int").alias("priority"),
+                            F.to_timestamp(F.lit("2020-01-01"))
+                            .alias("discovery_time")))
+
+        cfg = CrawlConfig(region="r", default_host_budget=4,
+                          bloom_expected=1000, seen_partitions=2)
+
+        def stats_of(driver):
+            return sorted((r.stats_key, r.action, r.round) for r in
+                          driver.read_committed("stats").collect())
+
+        d1 = CrawlDriver(spark, str(tmp_path / "w1"), cfg)
+        d1.seed(frontier(20))
+        d1.run(2)
+        dirs_before = len(d1.frontier.snapshots()[-1].data_dirs)
+        d1.compact_frontier(partitions=1)
+        assert len(d1.frontier.snapshots()[-1].data_dirs) == 1
+        d1.run(1)
+
+        d2 = CrawlDriver(spark, str(tmp_path / "w2"), cfg)
+        d2.seed(frontier(20))
+        d2.run(3)
+        assert stats_of(d1) == stats_of(d2)
+        assert dirs_before >= 1
