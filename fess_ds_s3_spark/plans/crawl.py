@@ -136,6 +136,7 @@ class CrawlDriver:
         self.lineage = self.catalog.table("lineage")
         self.rounds = self.catalog.table("rounds")
         self.robots = self.catalog.table("robots")
+        self.seen_checkpoint = self.catalog.table("seen_checkpoint")
 
     # ----- state ------------------------------------------------------------
 
@@ -198,8 +199,11 @@ class CrawlDriver:
         rules_bytes = self.robots.metadata().get("body_bytes")
         return robots_ops.robots_rules_table(self.robots.read()), rules_bytes
 
-    def _ledgered(self, snap_col: str) -> tuple[list[int], list[int]]:
-        """(snapshot ids, legacy round ids) from the committed ledger.
+    def _ledgered(self, snap_col: str,
+                  after_round: int = -1) -> tuple[list[int], list[int]]:
+        """(snapshot ids, legacy round ids) from the committed ledger,
+        restricted to rounds > ``after_round`` (used by checkpointed reads
+        to union only the deltas a checkpoint does not already fold in).
 
         Legacy rounds are ledger rows without a per-sink snapshot id —
         written by engines before the per-sink ledger columns existed
@@ -212,6 +216,7 @@ class CrawlDriver:
             rows = ledger.select("round", snap_col).collect()
         else:
             rows = [(r[0], None) for r in ledger.select("round").collect()]
+        rows = [r for r in rows if r[0] > after_round]
         ids = sorted(r[1] for r in rows if r[1] is not None)
         legacy_rounds = sorted(r[0] for r in rows if r[1] is None)
         return ids, legacy_rounds
@@ -240,11 +245,48 @@ class CrawlDriver:
 
     def committed_seen(self) -> DataFrame:
         """Seen rows from ledger-committed snapshots only (crash-replay
-        safety: orphan appends never become visible)."""
-        out = self._committed(self.seen, "seen_snapshot")
-        if out is None:
+        safety: orphan appends never become visible).
+
+        With a seen CHECKPOINT installed (``compact_seen``), the read is
+        checkpoint ∪ ledgered deltas of rounds after it — O(1) + O(rounds
+        since checkpoint) directories instead of O(all rounds)."""
+        ckpt_round = -1
+        parts: list[DataFrame] = []
+        if self.seen_checkpoint.exists():
+            ckpt_round = int(self.seen_checkpoint.metadata()
+                             .get("through_round", -1))
+            parts.append(self.seen_checkpoint.read())
+        ids, legacy_rounds = self._ledgered("seen_snapshot",
+                                            after_round=ckpt_round)
+        if ids:
+            parts.append(self.seen.read_deltas(ids))
+        if legacy_rounds and self.seen.exists():
+            legacy = self.seen.read()
+            if "round" in legacy.columns:
+                legacy = legacy.filter(F.col("round").isin(legacy_rounds))
+            parts.append(legacy)
+        if not parts:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra, allowMissingColumns=True)
         return out
+
+    def compact_seen(self) -> int:
+        """Checkpoint the committed seen-set: fold every ledgered delta up
+        to the last committed round into ONE snapshot of the
+        ``seen_checkpoint`` table (atomic overwrite; built exclusively
+        from ledger-committed rows, so orphan appends stay invisible
+        through a checkpoint exactly as before). The per-round seen read —
+        the hottest read in the crawl — then stops fanning over O(rounds)
+        delta directories. Call every O(10-100) rounds alongside
+        ``compact_frontier``; safe at any point between rounds, crash-safe
+        (a torn write leaves the previous checkpoint current)."""
+        last = self.last_round()
+        n_parts = max(self.cfg.seen_partitions, 1)
+        return self.seen_checkpoint.overwrite(
+            self.committed_seen().repartition(n_parts),
+            {"through_round": last, "kind": "seen-checkpoint"})
 
     def read_committed(self, table_name: str) -> DataFrame:
         """User-facing read of a sink table: union of exactly the snapshot

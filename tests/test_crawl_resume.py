@@ -307,3 +307,68 @@ class TestStatsTaxonomy:
         assert got == {"b@k1": "FINISHED", "b@k2": "discard",
                        "b@k3": "ACCESS_EXCEPTION",
                        "b@k4": "ACCESS_EXCEPTION", "b@k5": "EXCEPTION"}
+
+
+class TestSeenCheckpoint:
+    def _frontier(self, spark, n):
+        from pyspark.sql import functions as F
+        return (spark.range(n)
+                .select(F.lit("b").alias("bucket"),
+                        F.format_string("k/%03d", F.col("id")).alias("key"),
+                        F.lit(20).cast("long").alias("size"),
+                        (F.col("id") % 3).cast("int").alias("priority"),
+                        F.to_timestamp(F.lit("2020-01-01"))
+                        .alias("discovery_time")))
+
+    def test_checkpointed_crawl_equals_uncompacted_twin(self, spark,
+                                                        tmp_path):
+        """compact_seen between rounds must not change later admissions;
+        the checkpointed read folds ledgered deltas only."""
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        cfg = CrawlConfig(region="r", default_host_budget=5,
+                          bloom_expected=1000, seen_partitions=2)
+
+        def stats_of(d):
+            return sorted((r.stats_key, r.action, r.round) for r in
+                          d.read_committed("stats").collect())
+
+        d1 = CrawlDriver(spark, str(tmp_path / "w1"), cfg)
+        d1.seed(self._frontier(spark, 30))
+        d1.run(2)
+        d1.compact_seen()
+        assert d1.seen_checkpoint.metadata()["through_round"] == 1
+        d1.run(2)
+
+        d2 = CrawlDriver(spark, str(tmp_path / "w2"), cfg)
+        d2.seed(self._frontier(spark, 30))
+        d2.run(4)
+        assert stats_of(d1) == stats_of(d2)
+        # the checkpointed read matches the ledger-only read exactly
+        seen1 = sorted(r.canonical_url
+                       for r in d1.committed_seen().collect())
+        seen2 = sorted(r.canonical_url
+                       for r in d2.committed_seen().collect())
+        assert seen1 == seen2
+
+    def test_orphans_stay_invisible_through_checkpoint(self, spark,
+                                                       tmp_path):
+        """An orphan seen append (crashed round: append committed but no
+        ledger row) must not leak into a checkpoint — compact_seen folds
+        ledger-committed rows only."""
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        cfg = CrawlConfig(region="r", default_host_budget=5,
+                          bloom_expected=1000, seen_partitions=2)
+        d = CrawlDriver(spark, str(tmp_path / "w"), cfg)
+        d.seed(self._frontier(spark, 10))
+        d.run(1)
+        # simulate a crash AFTER the seen append, BEFORE the ledger commit
+        orphan = spark.createDataFrame(
+            [("https://orphan.example/x", 1, 1)],
+            "canonical_url string, url_hash long, round int")
+        d.seen.append(orphan, {"round": 99})
+        d.compact_seen()
+        seen = {r.canonical_url for r in d.committed_seen().collect()}
+        assert "https://orphan.example/x" not in seen
+        assert len(seen) == 5  # budget 5, round 0
