@@ -168,6 +168,22 @@ class FsObjectStore:
         next_after = page[-1] if len(matched) > max_keys else None
         return entries, next_after
 
+    def list_common_prefixes(self, bucket: str, prefix: str = "",
+                             delimiter: str = "/") -> list[str]:
+        """Distinct ``prefix + <segment up to and including delimiter>``
+        groups under ``prefix`` — the CommonPrefixes facet of a delimited
+        listing (listObjectsV2 Delimiter semantics). Keys with no delimiter
+        after the prefix contribute no group."""
+        seen: set[str] = set()
+        for key in self._all_keys(bucket):
+            if not key.startswith(prefix):
+                continue
+            rest = key[len(prefix):]
+            idx = rest.find(delimiter)
+            if idx >= 0:
+                seen.add(prefix + rest[:idx + len(delimiter)])
+        return sorted(seen)
+
 
 # ---------------------------------------------------------------------------
 # Store protocol + picklable specs (the pluggable-client seam)
@@ -183,6 +199,9 @@ class ObjectStore(Protocol):
     def list_objects(self, bucket: str, prefix: str = "",
                      start_after: str = "",
                      max_keys: int = 1000) -> tuple[list[dict], str | None]: ...
+
+    def list_common_prefixes(self, bucket: str, prefix: str = "",
+                             delimiter: str = "/") -> list[str]: ...
 
 
 class StoreSpec(Protocol):
@@ -340,6 +359,23 @@ class S3ObjectStore:
                       if resp.get("IsTruncated") and entries else None)
         return entries, next_after
 
+    def list_common_prefixes(self, bucket: str, prefix: str = "",
+                             delimiter: str = "/") -> list[str]:
+        """CommonPrefixes via delimited listObjectsV2, paged to exhaustion
+        (ContinuationToken) — one group per first-level 'directory'."""
+        prefixes: list[str] = []
+        kwargs: dict[str, Any] = {"Bucket": bucket, "Prefix": prefix,
+                                  "Delimiter": delimiter}
+        while True:
+            resp = self._client.list_objects_v2(**kwargs)
+            prefixes.extend(p["Prefix"]
+                            for p in resp.get("CommonPrefixes", []))
+            token = resp.get("NextContinuationToken")
+            if not resp.get("IsTruncated") or not token:
+                break
+            kwargs["ContinuationToken"] = token
+        return sorted(set(prefixes))
+
 
 @dataclass(frozen=True)
 class S3StoreSpec:
@@ -398,46 +434,110 @@ LISTING_SCHEMA = StructType([
 ])
 
 
+def discover_shard_boundaries(store: "ObjectStore", bucket: str,
+                              target: int, *, delimiter: str = "/",
+                              max_depth: int = 3) -> list[str]:
+    """Discover ≈``target`` keyspace split points for one bucket from its
+    CommonPrefixes (delimited listing), breadth-first up to ``max_depth``
+    levels. Returns sorted prefix strings used as RANGE boundaries by
+    :func:`list_objects_df` — coverage is complete for ANY boundary set
+    (ranges partition the whole key space), so a key that matches no
+    discovered group (e.g. directly under the bucket root) still lands in
+    exactly one shard. Driver-side metadata calls only — one delimited
+    listing per expanded level, the same cost class as the reference's
+    bucket iteration."""
+    frontier_p = [""]
+    boundaries: list[str] = []
+    for _ in range(max_depth):
+        if len(boundaries) + 1 >= target or not frontier_p:
+            break
+        nxt: list[str] = []
+        for p in frontier_p:
+            children = store.list_common_prefixes(bucket, prefix=p,
+                                                  delimiter=delimiter)
+            nxt.extend(children)
+        if not nxt:
+            break
+        boundaries = sorted(set(boundaries) | set(nxt))
+        frontier_p = nxt
+    return boundaries
+
+
 def list_objects_df(spark: SparkSession, root: "str | StoreSpec",
                     cfg: CrawlConfig, *,
                     buckets: list[str] | None = None,
-                    prefixes: list[str] | None = None) -> DataFrame:
-    """Distributed listing: one task per (bucket, prefix) shard; each task
-    pages its shard by ``cfg.max_keys`` to exhaustion — the reference's
-    page loop (AmazonS3Client.java:139-147) run in parallel across shards.
+                    prefixes: list[str] | None = None,
+                    auto_shard_target: int | None = None) -> DataFrame:
+    """Distributed listing: one task per shard; each task pages its shard
+    by ``cfg.max_keys`` to exhaustion — the reference's page loop
+    (AmazonS3Client.java:139-147) run in parallel across shards.
 
     ``root``: FsObjectStore root path or any :class:`StoreSpec`.
     ``buckets`` defaults to the store's buckets filtered by ``cfg.buckets``
-    (F4 membership). ``prefixes`` shards each bucket's keyspace; default is
-    one shard per bucket (fine up to ~10^6 keys/bucket; at frontier scale
-    pass e.g. 256 prefix shards so no task walks a whole bucket).
+    (F4 membership).
+
+    Sharding (pick one):
+
+    - ``prefixes``: explicit prefix shards per bucket (the caller knows the
+      key layout). Keys outside every prefix are NOT listed.
+    - ``auto_shard_target``: the engine discovers ≈N split points per
+      bucket from CommonPrefixes (:func:`discover_shard_boundaries`) and
+      lists KEY RANGES between them — complete coverage of the bucket
+      (keys under no discovered group included), no layout knowledge
+      needed. This is the 10^9-keys/bucket path: no task walks a whole
+      bucket, and listing parallelism = Σ per-bucket shards.
+    - default: one shard per bucket (fine up to ~10^6 keys/bucket).
     """
+    if prefixes is not None and auto_shard_target is not None:
+        raise ValueError("pass either prefixes or auto_shard_target")
     spec = as_store_spec(root)
     store = spec.connect()
     names = buckets if buckets is not None else store.buckets()
     if cfg.buckets:
         names = [b for b in names if b in cfg.buckets]
-    shards = [(b, p) for b in names for p in (prefixes or [""])]
+    if auto_shard_target is not None:
+        # range shards: (bucket, lo_exclusive, hi_inclusive]; "" lo = start,
+        # None hi = unbounded tail — a partition of the full key space
+        shards = []
+        for b in names:
+            bounds = discover_shard_boundaries(store, b, auto_shard_target)
+            edges = [""] + bounds + [None]
+            shards.extend((b, edges[i], edges[i + 1])
+                          for i in range(len(edges) - 1))
+    else:
+        shards = [(b, p, None) for b in names for p in (prefixes or [""])]
     if not shards:
         return spark.createDataFrame([], LISTING_SCHEMA)
-    tasks = spark.createDataFrame(shards, "bucket string, prefix string") \
+    range_mode = auto_shard_target is not None
+    tasks = spark.createDataFrame(
+        shards, "bucket string, lo string, hi string") \
         .repartition(len(shards))
     max_keys = cfg.max_keys
 
     def _list(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = spec.connect()
         for pdf in batches:
-            for bucket, prefix in zip(pdf["bucket"], pdf["prefix"]):
-                after = ""
+            for bucket, lo, hi in zip(pdf["bucket"], pdf["lo"], pdf["hi"]):
+                # range mode: lo/hi are key-range edges (page by
+                # start_after from lo, truncate past hi); prefix mode:
+                # lo is the listing prefix
+                after = lo if range_mode else ""
+                prefix = "" if range_mode else lo
+                hi_b = hi.encode("utf-8") if (range_mode
+                                              and hi is not None) else None
                 while True:
                     entries, nxt = local.list_objects(
                         bucket, prefix=prefix, start_after=after,
                         max_keys=max_keys)
+                    if hi_b is not None:
+                        entries = [e for e in entries
+                                   if e["key"].encode("utf-8") <= hi_b]
                     if entries:
                         out = pd.DataFrame(entries)
                         out.insert(0, "bucket", bucket)
                         yield out[[f.name for f in LISTING_SCHEMA.fields]]
-                    if nxt is None:
+                    if nxt is None or (hi_b is not None
+                                       and nxt.encode("utf-8") > hi_b):
                         break
                     after = nxt
 

@@ -593,3 +593,74 @@ class TestStoreErrorRouting:
         acts = {r.stats_key: r.action
                 for r in stats_events(result.processed, 0).collect()}
         assert acts["fess-0@files/doc-2.txt"] == "ACCESS_EXCEPTION"
+
+
+class TestAutoSharding:
+    @pytest.fixture()
+    def deep_store(self, tmp_path):
+        st = FsObjectStore(str(tmp_path / "deep"))
+        for lang in ("en", "es", "zh"):
+            for i in range(4):
+                st.put_object("b", f"docs/{lang}/f-{i}.txt", b"x")
+        st.put_object("b", "README.txt", b"root-level")  # no group at all
+        st.put_object("b", "docs/index.txt", b"mid-level")
+        return st
+
+    def test_common_prefixes_fs(self, deep_store):
+        assert deep_store.list_common_prefixes("b") == ["docs/"]
+        assert deep_store.list_common_prefixes("b", prefix="docs/") == \
+            ["docs/en/", "docs/es/", "docs/zh/"]
+
+    def test_discover_boundaries_bfs(self, deep_store):
+        from fess_ds_s3_spark.sources.object_store import \
+            discover_shard_boundaries
+        b1 = discover_shard_boundaries(deep_store, "b", target=2)
+        assert b1 == ["docs/"]
+        b2 = discover_shard_boundaries(deep_store, "b", target=4)
+        assert b2 == ["docs/", "docs/en/", "docs/es/", "docs/zh/"]
+
+    def test_auto_shard_listing_complete(self, spark, deep_store):
+        """Range-sharded listing ≡ the unsharded listing, INCLUDING keys
+        under no discovered group (root-level and mid-level files) — the
+        ranges partition the whole key space."""
+        cfg = CrawlConfig(region=REGION, max_keys=3)
+        plain = list_objects_df(spark, deep_store.root, cfg)
+        sharded = list_objects_df(spark, deep_store.root, cfg,
+                                  auto_shard_target=4)
+        cols = ["bucket", "key", "size", "etag"]
+        a = sorted(map(tuple, plain.select(*cols).collect()))
+        b = sorted(map(tuple, sharded.select(*cols).collect()))
+        assert a == b
+        assert len(a) == 14
+        keys = {k for _, k, _, _ in a}
+        assert "README.txt" in keys and "docs/index.txt" in keys
+
+    def test_s3_common_prefixes_paged(self):
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import S3ObjectStore
+        import boto3
+        client = boto3.client("s3", region_name=REGION,
+                              aws_access_key_id="k",
+                              aws_secret_access_key="s")
+        stub = Stubber(client)
+        stub.add_response(
+            "list_objects_v2",
+            {"IsTruncated": True, "NextContinuationToken": "tok",
+             "CommonPrefixes": [{"Prefix": "a/"}, {"Prefix": "b/"}]},
+            {"Bucket": "x", "Prefix": "", "Delimiter": "/"})
+        stub.add_response(
+            "list_objects_v2",
+            {"IsTruncated": False,
+             "CommonPrefixes": [{"Prefix": "c/"}]},
+            {"Bucket": "x", "Prefix": "", "Delimiter": "/",
+             "ContinuationToken": "tok"})
+        with stub:
+            assert S3ObjectStore(client).list_common_prefixes("x") == \
+                ["a/", "b/", "c/"]
+
+    def test_prefixes_and_auto_shard_mutually_exclusive(self, spark,
+                                                        deep_store):
+        with pytest.raises(ValueError):
+            list_objects_df(spark, deep_store.root,
+                            CrawlConfig(region=REGION),
+                            prefixes=["a"], auto_shard_target=2)
