@@ -664,3 +664,20 @@ class TestAutoSharding:
             list_objects_df(spark, deep_store.root,
                             CrawlConfig(region=REGION),
                             prefixes=["a"], auto_shard_target=2)
+
+
+class TestDistributedRobotsFetch:
+    def test_equals_driver_side_fetch(self, spark, store):
+        """fetch_robots_bodies_distributed ≡ the driver-side loop: same
+        (host, body) rows; buckets without robots.txt contribute none."""
+        from fess_ds_s3_spark.sources.object_store import (
+            fetch_robots_bodies, fetch_robots_bodies_distributed)
+        store.put_object("fess-0", "robots.txt",
+                         b"User-agent: *\nDisallow: /files/doc-1\n")
+        cfg = CrawlConfig(region=REGION)
+        a = sorted(map(tuple, fetch_robots_bodies(
+            spark, store.root, cfg).collect()))
+        b = sorted(map(tuple, fetch_robots_bodies_distributed(
+            spark, store.root, cfg, fetch_concurrency=4).collect()))
+        assert a == b
+        assert len(a) == 1 and a[0][0] == f"fess-0.s3.{REGION}.amazonaws.com"
