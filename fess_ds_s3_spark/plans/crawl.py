@@ -185,9 +185,17 @@ class CrawlDriver:
         from fess_ds_s3_spark.operators import robots as robots_ops
         if not self.robots.exists():
             if self.object_store_root is not None:
-                from fess_ds_s3_spark.sources.object_store import \
-                    fetch_robots_bodies
-                self.install_robots(fetch_robots_bodies(
+                from fess_ds_s3_spark.sources.object_store import (
+                    as_store_spec, fetch_robots_bodies,
+                    fetch_robots_bodies_distributed)
+                # small bucket populations: driver-side GET loop (the
+                # reference's bucket iteration); large ones: fan the robots
+                # GETs out through the production fetch stage
+                n_buckets = len(
+                    as_store_spec(self.object_store_root).connect().buckets())
+                fetch = (fetch_robots_bodies if n_buckets <= 64
+                         else fetch_robots_bodies_distributed)
+                self.install_robots(fetch(
                     self.spark, self.object_store_root, self.cfg))
             else:
                 raise ValueError(
