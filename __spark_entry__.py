@@ -208,6 +208,37 @@ def q_politeness(spark, sf_dir):
             .select("host", "host_rank", "url"))
 
 
+def q_admission_bucketed(spark, sf_dir):
+    """Exchange-free scheduling round over a host-BUCKETED frontier table
+    (plans/bucketed.py) — ORACLE-CHECKED against the same SQL as the
+    shuffle-path flagship: the frontier is written CLUSTERED BY (host),
+    the URL-seen set rides the table as committed=true marker rows, and
+    dedup + seen-filter + admission run as windows off the storage
+    partitioning with ZERO Exchange nodes (plan asserted in
+    tests/test_bucketed.py). Same admissions as seen-anti-join → per-host
+    rank → budget cut."""
+    from fess_ds_s3_spark.plans import bucketed as B
+    cfg = CrawlConfig(region=REGION)
+    f = (_frontier(spark, sf_dir)
+         .withColumn("canonical_url", F.col("url"))
+         .withColumn("discovery_time", F.lit(0).cast("long")))
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table, path = (f"gate_bucketed_{sf_name}".replace(".", "_"),
+                   f"/tmp/spark-graft-bucketed/{sf_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    B.ingest_frontier(f, cfg, table=table, path=path, n_buckets=8,
+                      mode="overwrite")
+    seen = (f.filter(F.col("doc_id") % 3 == 0)
+            .select("host", "canonical_url"))
+    B.mark_committed(seen, table=table, path=path, n_buckets=8)
+    budgets = (f.select("host").distinct()
+               .withColumn("budget_per_round", _budget_spark()))
+    adm = B.schedule_bucketed(spark.table(table), cfg,
+                              host_budgets=budgets,
+                              rank_by=("priority", "url"))
+    return adm.select("host", "host_rank", "url")
+
+
 def q_seen_antijoin(spark, sf_dir):
     """F5/J4: exact URL-seen anti-join (seen = doc_id % 3 == 0)."""
     f = _frontier(spark, sf_dir).withColumnRenamed("url", "canonical_url")
@@ -797,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_filter": q_mime_filter,
         "size_routing": q_size_routing,
         "politeness": q_politeness,
+        "admission_bucketed": q_admission_bucketed,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom_antijoin": q_seen_bloom_antijoin,
         "seen_cuckoo_antijoin": q_seen_cuckoo_antijoin,
@@ -1007,6 +1039,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN md5(d.text) END AS contents_md5
             FROM frontier f JOIN documents d USING (doc_id)""",
         "admission_round1": flagship,
+        # the bucketed (exchange-free) round is DEFINED to produce the same
+        # admissions as seen-anti-join → per-host rank → budget cut, so the
+        # flagship's scheduling CTEs are its oracle verbatim
+        "admission_bucketed": admitted_ctes
+        + "SELECT host, host_rank, url FROM admitted",
         "status_counts": f"WITH routed AS ({flagship}) " +
             "SELECT status, count(*) AS n FROM routed GROUP BY status "
             "ORDER BY status",
