@@ -191,6 +191,38 @@ def schedule_bucketed(frontier: DataFrame, cfg: CrawlConfig, *,
     return admitted
 
 
+def crawl_rounds_bucketed(spark: SparkSession, *, table: str, path: str,
+                          n_buckets: int, cfg: CrawlConfig, n_rounds: int,
+                          log_path: str,
+                          host_budgets: DataFrame | None = None,
+                          rank_by=politeness.DEFAULT_RANK_COLS,
+                          global_cap: int | None = None) -> DataFrame:
+    """Multi-round crawl loop over the bucketed frontier: each round admits
+    (exchange-free), appends the admitted batch to a parquet admissions log,
+    and derives the committed markers FROM the materialized log — the log
+    write is the commit point, so markers can never disagree with what was
+    recorded, and a crash between the two writes re-admits (idempotent: a
+    second marker append for the same URLs is dedup-absorbed).
+
+    Returns the admissions log DataFrame with a ``round`` column. Multiround
+    equivalence with the shuffle path's seen-set accumulation is pinned in
+    tests/test_bucketed.py. The budget-bounded admitted batch is the only
+    per-round materialization; the frontier itself is never shuffled.
+    """
+    for r in range(n_rounds):
+        adm = schedule_bucketed(spark.table(table), cfg,
+                                host_budgets=host_budgets, rank_by=rank_by,
+                                global_cap=global_cap)
+        (adm.withColumn("round", F.lit(r).cast("int"))
+         .write.mode("append").parquet(log_path))
+        committed = (spark.read.parquet(log_path)
+                     .filter(F.col("round") == r)
+                     .select("host", "canonical_url"))
+        mark_committed(committed, table=table, path=path,
+                       n_buckets=n_buckets)
+    return spark.read.parquet(log_path)
+
+
 def compact_frontier_bucketed(spark: SparkSession, src_table: str, *,
                               dst_table: str, dst_path: str,
                               n_buckets: int,

@@ -127,6 +127,35 @@ class TestLayoutDurability:
                 .join(table["seen"], on=["host", "canonical_url"],
                       how="left_anti").count()) == 0
 
+    def test_multiround_equals_shuffle_loop(self, spark, cfg, tmp_path):
+        """3 bucketed admit→commit rounds ≡ the shuffle path with manual
+        seen-set accumulation: same (round, url, host_rank) everywhere."""
+        small = CrawlConfig(region="us-east-1", default_host_budget=5)
+        df = _frontier(spark, n=3000, hosts=11)
+        name, path = "t_bucketed_mr", str(tmp_path / "mr_frontier")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        B.ingest_frontier(df, small, table=name, path=path,
+                          n_buckets=N_BUCKETS, mode="overwrite")
+        log = B.crawl_rounds_bucketed(
+            spark, table=name, path=path, n_buckets=N_BUCKETS, cfg=small,
+            n_rounds=3, log_path=str(tmp_path / "mr_log"))
+        got = {(r.round, r.url, r.host_rank)
+               for r in log.select("round", "url", "host_rank").collect()}
+
+        seen = None
+        want = set()
+        for rnd in range(3):
+            adm = round_plan.schedule(df, small, seen_exact=seen,
+                                      use_salting=False, narrow=False)
+            rows = adm.select("url", "canonical_url", "host_rank").collect()
+            want |= {(rnd, r.url, r.host_rank) for r in rows}
+            delta = adm.select("canonical_url")
+            seen = delta if seen is None else seen.union(delta)
+        assert got == want
+        # every admitted URL exactly once across rounds (seen-set works)
+        urls = [u for (_, u, _) in got]
+        assert len(urls) == len(set(urls))
+
     def test_reregister_after_catalog_wipe(self, spark, cfg, table):
         before = B.schedule_bucketed(spark.table(table["name"]), cfg)
         want = _admissions(before)
