@@ -60,12 +60,15 @@ This module is a north-rule addition (10^10-URL frontier scale).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fess_ds_s3_spark.config import CrawlConfig
 from fess_ds_s3_spark.operators import politeness
 from fess_ds_s3_spark.plans.round import prepare_frontier
+from fess_ds_s3_spark.plans.round import schedule as round_plan_schedule
 
 #: canonical column set of a bucketed frontier table, with Spark SQL types.
 #: ``committed = true`` rows are URL-seen markers (only host/canonical_url
@@ -221,6 +224,86 @@ def crawl_rounds_bucketed(spark: SparkSession, *, table: str, path: str,
         mark_committed(committed, table=table, path=path,
                        n_buckets=n_buckets)
     return spark.read.parquet(log_path)
+
+
+class FrontierStats(NamedTuple):
+    """Planner statistics over a bucketed frontier's PENDING rows."""
+    pending_rows: int
+    n_hosts: int
+    max_host_rows: int
+
+
+#: Above this many pending rows on a single host, a bucket task's window
+#: sort over that host becomes the round's straggler (one bucket = one
+#: task), so the salted shuffle path — which spreads a hot host across
+#: ``salt_buckets`` tasks — wins despite its two exchanges.
+DEFAULT_SKEW_THRESHOLD_ROWS = 5_000_000
+
+
+def frontier_stats(frontier: DataFrame) -> FrontierStats:
+    """One tiny planner-statistics job over the bucketed scan: per-host
+    pending counts aggregate WITHOUT an exchange (the scan's
+    ``HashPartitioning(host)`` satisfies the groupBy), and only the
+    O(n_hosts) count rows collapse to the driver. This is the runtime
+    statistic AQE would gather at the first exchange — the bucketed plan
+    has no exchange, so we gather it explicitly (callers cache it across
+    rounds via ``schedule_auto(stats=...)``; admission only shrinks hosts,
+    so a stale max is an upper bound and the decision stays safe)."""
+    per_host = (frontier.filter(~F.col("committed"))
+                .groupBy("host").count())
+    row = per_host.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("pending_rows"),
+        F.count("*").alias("n_hosts"),
+        F.coalesce(F.max("count"), F.lit(0)).alias("max_host_rows")
+    ).collect()[0]
+    return FrontierStats(int(row.pending_rows), int(row.n_hosts),
+                         int(row.max_host_rows))
+
+
+class AutoSchedule(NamedTuple):
+    admitted: DataFrame
+    path: str          # "bucketed" | "shuffle_salted"
+    stats: FrontierStats
+
+
+def schedule_auto(spark: SparkSession, table: str, cfg: CrawlConfig, *,
+                  host_budgets: DataFrame | None = None,
+                  global_cap: int | None = None,
+                  skew_threshold_rows: int = DEFAULT_SKEW_THRESHOLD_ROWS,
+                  stats: FrontierStats | None = None) -> AutoSchedule:
+    """Skew-aware path picker: schedule off the bucketed table
+    exchange-free when every host fits a single bucket task, else fall
+    back to the salted shuffle round (``plans.round.schedule``) which
+    spreads hot hosts across ``cfg.salt_buckets`` tasks.
+
+    Both paths admit the IDENTICAL batch (test-pinned): the shuffle
+    fallback feeds the table's pending rows and committed markers into
+    the standard round, whose dedup winner / unseen set / admission
+    ranks match ``schedule_bucketed`` by construction (same rank order,
+    ``url`` tie-break). Ranking is the default
+    ``politeness.DEFAULT_RANK_COLS`` on both paths.
+
+    The decision costs one :func:`frontier_stats` job unless the caller
+    passes a cached ``stats`` (markers only ever shrink pending counts,
+    so reusing a previous round's stats is a safe upper bound).
+    """
+    if stats is None:
+        stats = frontier_stats(spark.table(table))
+    out_cols = [n for n, _ in FRONTIER_TABLE_COLUMNS
+                if n != "committed"] + ["host_rank"]
+    if stats.max_host_rows > skew_threshold_rows:
+        t = spark.table(table)
+        pending = t.filter(~F.col("committed")).drop("committed")
+        seen = t.filter(F.col("committed")).select("canonical_url")
+        admitted = round_plan_schedule(
+            pending, cfg, seen_exact=seen, host_budgets=host_budgets,
+            use_salting=True, narrow=False, global_cap=global_cap)
+        return AutoSchedule(admitted.select(*out_cols), "shuffle_salted",
+                            stats)
+    admitted = schedule_bucketed(spark.table(table), cfg,
+                                 host_budgets=host_budgets,
+                                 global_cap=global_cap)
+    return AutoSchedule(admitted.select(*out_cols), "bucketed", stats)
 
 
 def compact_frontier_bucketed(spark: SparkSession, src_table: str, *,

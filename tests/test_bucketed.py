@@ -97,6 +97,38 @@ class TestScheduleBucketed:
         assert all(r.host_rank <= bmap[r.host] for r in rows)
 
 
+class TestScheduleAuto:
+    def test_stats_match_manual_counts(self, spark, cfg, table):
+        stats = B.frontier_stats(spark.table(table["name"]))
+        pend = spark.table(table["name"]).filter(~F.col("committed"))
+        per_host = {r.host: r["count"] for r in
+                    pend.groupBy("host").count().collect()}
+        assert stats.pending_rows == sum(per_host.values())
+        assert stats.n_hosts == len(per_host)
+        assert stats.max_host_rows == max(per_host.values())
+
+    def test_stats_job_is_narrow(self, spark, cfg, table):
+        """The per-host count aggregates exchange-free off the bucketing;
+        only the O(n_hosts) count rows cross a (single-partition)
+        exchange."""
+        per_host = (spark.table(table["name"])
+                    .filter(~F.col("committed")).groupBy("host").count()
+                    .agg(F.sum("count"), F.count("*"), F.max("count")))
+        plan = per_host._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1, plan
+
+    def test_paths_pick_and_agree(self, spark, cfg, table):
+        low = B.schedule_auto(spark, table["name"], cfg,
+                              skew_threshold_rows=0)
+        high = B.schedule_auto(spark, table["name"], cfg,
+                               skew_threshold_rows=10**9,
+                               stats=low.stats)
+        assert low.path == "shuffle_salted"
+        assert high.path == "bucketed"
+        assert low.admitted.columns == high.admitted.columns
+        assert _admissions(low.admitted) == _admissions(high.admitted)
+
+
 class TestLayoutDurability:
     def test_append_preserves_bucketing(self, spark, cfg, table):
         extra = _frontier(spark, n=1000, hosts=23).withColumn(
