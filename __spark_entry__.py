@@ -807,6 +807,33 @@ def q_multiround_crawl(spark, sf_dir):
                                                  "round")
 
 
+def q_listing_diff(spark, sf_dir):
+    """Incremental re-crawl (operators/incremental.py): diff two listing
+    snapshots and classify added / modified / deleted / unchanged with
+    null-safe version comparison — the change-detection use of the
+    reference's e_tag/size objectMap fields (AmazonS3DataStore.java:103,
+    309) it never exploits itself. Previous listing = frontier minus
+    doc_id%13==0 (those become ``added``); current = frontier minus
+    doc_id%17==0 (``deleted``); the current ETag is bumped on doc_id%7==0
+    (``modified``); ETags are NULL on doc_id%11==0 in BOTH snapshots
+    (null-safe ⇒ ``unchanged``, not modified). One equi join, pure JVM
+    classification — the 100 TB shape is the changed fraction, never the
+    listing."""
+    from fess_ds_s3_spark.operators import incremental as inc
+    f = _frontier(spark, sf_dir)
+    etag = F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string")) \
+            .otherwise(F.concat(F.lit("v"),
+                                (F.col("doc_id") % 3).cast("string")))
+    prev = (f.filter(F.col("doc_id") % 13 != 0)
+            .select("bucket", "key", etag.alias("e_tag"), "size"))
+    cur_etag = F.when((F.col("doc_id") % 7 == 0)
+                      & (F.col("doc_id") % 11 != 0), F.lit("bumped")) \
+                .otherwise(etag)
+    cur = (f.filter(F.col("doc_id") % 17 != 0)
+           .select("bucket", "key", cur_etag.alias("e_tag"), "size"))
+    return inc.listing_diff(cur, prev)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -862,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "ivf_topk": q_ivf_topk,
         "multiround_crawl": q_multiround_crawl,
+        "listing_diff": q_listing_diff,
     }
 
 
@@ -1398,4 +1426,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'FINISHED' END AS action,
                    round
             FROM adm""",
+        # incremental re-crawl: FULL OUTER JOIN of the two derived listing
+        # snapshots; IS NOT DISTINCT FROM = Spark's eqNullSafe
+        "listing_diff": FRONTIER_CTE + """,
+            tagged AS (
+              SELECT bucket, key, size,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          ELSE 'v' || CAST(doc_id % 3 AS VARCHAR)
+                     END AS e_tag,
+                     doc_id
+              FROM frontier
+            ),
+            prev AS (
+              SELECT bucket, key, e_tag, size FROM tagged
+              WHERE doc_id % 13 <> 0
+            ),
+            cur AS (
+              SELECT bucket, key,
+                     CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+                          THEN 'bumped' ELSE e_tag END AS e_tag,
+                     size
+              FROM tagged
+              WHERE doc_id % 17 <> 0
+            )
+            SELECT COALESCE(c.bucket, p.bucket) AS bucket,
+                   COALESCE(c.key, p.key) AS key,
+                   CASE WHEN c.key IS NOT NULL AND p.key IS NOT NULL THEN
+                          CASE WHEN c.e_tag IS NOT DISTINCT FROM p.e_tag
+                                AND c.size IS NOT DISTINCT FROM p.size
+                               THEN 'unchanged' ELSE 'modified' END
+                        WHEN c.key IS NOT NULL THEN 'added'
+                        ELSE 'deleted' END AS change,
+                   c.e_tag AS cur_e_tag, c.size AS cur_size,
+                   p.e_tag AS prev_e_tag, p.size AS prev_size
+            FROM cur c FULL OUTER JOIN prev p
+              ON c.bucket = p.bucket AND c.key = p.key""",
     }

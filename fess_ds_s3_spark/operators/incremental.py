@@ -1,0 +1,124 @@
+"""Incremental re-crawl: diff two listing snapshots, schedule only change.
+
+The reference re-crawls every object on every run — ``storeData`` walks the
+full listing each time (AmazonS3DataStore.java:165-180) and carries the
+change-detection fields (``e_tag``, ``last_modified``, ``delete_marker``,
+AmazonS3DataStore.java:103,117,309,322) into the objectMap without using
+them. At 10^9 objects a full re-crawl per cycle is the dominant cost, so
+this module puts those fields to work (north-rule scale addition, the
+Nutch-CrawlDb "generate only what changed" model — public design):
+
+- :func:`listing_diff` full-outer-joins the current listing snapshot with
+  the previous one on the object key and classifies every object as
+  ``added`` / ``modified`` / ``deleted`` / ``unchanged`` (version
+  comparison is null-safe per column).
+- :func:`recrawl_candidates` keeps the rows a new round must fetch
+  (added + modified, current-side metadata).
+- :func:`deletion_tombstones` keeps the keys whose documents must leave
+  the index (the delete-marker analog: fess purges stale documents after
+  a crawl; here the tombstone set IS that purge list, applied to the
+  document sink as an anti-join).
+
+Scale shape: one equi-join on the key columns — both listings shuffle on
+``(bucket, key)``, or neither does when the snapshots are stored bucketed
+by those keys (the same storage-partitioning trick plans/bucketed.py uses
+for hosts). No UDFs, no driver actions; classification is pure JVM column
+logic, so the changed-fraction filter pushes into the join output and a
+mostly-unchanged 10^9-object listing reduces to the small changed set
+before anything wide happens downstream.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default object identity within a listing snapshot
+DEFAULT_KEY_COLS: tuple[str, ...] = ("bucket", "key")
+
+#: default change-detection columns (the reference's objectMap fields that
+#: S3 updates on every object write: ETag always changes with content).
+#: NOTE: ``list_objects_df`` listing rows name the column ``etag`` — pass
+#: ``version_cols=("etag", "size")`` when diffing raw listing snapshots;
+#: the default matches the objectMap/frontier shape (``e_tag``).
+DEFAULT_VERSION_COLS: tuple[str, ...] = ("e_tag", "size")
+
+
+def listing_diff(current: DataFrame, previous: DataFrame, *,
+                 key_cols: Sequence[str] = DEFAULT_KEY_COLS,
+                 version_cols: Sequence[str] = DEFAULT_VERSION_COLS,
+                 ) -> DataFrame:
+    """Classify every object across two listing snapshots.
+
+    Returns ``key_cols`` + ``change`` (``added`` / ``modified`` /
+    ``deleted`` / ``unchanged``) + ``cur_<c>`` / ``prev_<c>`` for each
+    version column. Each listing must be unique per key (S3 listings are;
+    ``list_objects_df`` output qualifies directly).
+
+    ``modified`` means any version column differs under NULL-SAFE equality
+    (a null ETag on one side of a pair counts as a difference, two nulls
+    do not) — so a metadata-less listing degrades to added/deleted-only
+    detection instead of re-crawling everything.
+    """
+    keys = list(key_cols)
+    cur = current.select(
+        *keys,
+        *[F.col(c).alias(f"cur_{c}") for c in version_cols],
+        F.lit(True).alias("_in_cur"))
+    prev = previous.select(
+        *keys,
+        *[F.col(c).alias(f"prev_{c}") for c in version_cols],
+        F.lit(True).alias("_in_prev"))
+    j = cur.join(prev, on=keys, how="full_outer")
+    same = reduce(lambda a, b: a & b,
+                  [F.col(f"cur_{c}").eqNullSafe(F.col(f"prev_{c}"))
+                   for c in version_cols],
+                  F.lit(True))
+    change = (F.when(F.col("_in_cur").isNotNull()
+                     & F.col("_in_prev").isNotNull(),
+                     F.when(same, F.lit("unchanged"))
+                     .otherwise(F.lit("modified")))
+              .when(F.col("_in_cur").isNotNull(), F.lit("added"))
+              .otherwise(F.lit("deleted")))
+    return j.select(*keys, change.alias("change"),
+                    *[f"cur_{c}" for c in version_cols],
+                    *[f"prev_{c}" for c in version_cols])
+
+
+def recrawl_candidates(diff: DataFrame, *,
+                       version_cols: Sequence[str] = DEFAULT_VERSION_COLS,
+                       ) -> DataFrame:
+    """Rows the next round must fetch: added + modified, with the
+    CURRENT-side metadata restored to its unprefixed names so the result
+    feeds ``prepare_frontier`` / ``ingest_frontier`` directly."""
+    keep = diff.filter(F.col("change").isin("added", "modified"))
+    other = [c for c in diff.columns
+             if not (c.startswith("cur_") or c.startswith("prev_"))]
+    return keep.select(
+        *other,
+        *[F.col(f"cur_{c}").alias(c) for c in version_cols])
+
+
+def deletion_tombstones(diff: DataFrame, *,
+                        key_cols: Sequence[str] = DEFAULT_KEY_COLS,
+                        ) -> DataFrame:
+    """Keys whose documents must be purged from the document sink (object
+    gone from the store). Apply as ``indexed.join(tombstones, keys,
+    "left_anti")`` — the delete side of the reference's delete_marker
+    field (AmazonS3DataStore.java:117,322)."""
+    return diff.filter(F.col("change") == "deleted").select(*key_cols)
+
+
+def apply_tombstones(indexed: DataFrame, tombstones: DataFrame, *,
+                     key_cols: Sequence[str] = DEFAULT_KEY_COLS,
+                     ) -> DataFrame:
+    """Purge tombstoned documents from an indexed-document set: anti-join
+    on the object key. No forced broadcast — the deleted set is usually
+    tiny (AQE picks BroadcastHashJoin on its runtime size) but a bucket
+    wipe can make it huge, and an unconditional hint would then OOM the
+    driver (the same un-gated-broadcast trap the robots join avoids)."""
+    return indexed.join(tombstones.select(*key_cols).distinct(),
+                        on=list(key_cols), how="left_anti")

@@ -1,0 +1,121 @@
+"""Incremental re-crawl (operators/incremental.py): listing-snapshot diff.
+
+Pins the classification semantics (added/modified/deleted/unchanged with
+null-safe version comparison), the set identities tying the diff back to
+its inputs, and the recrawl/tombstone projections that feed the next round
+and the document-sink purge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.operators import incremental as inc
+
+
+def _listing(spark, rows):
+    """rows: (bucket, key, e_tag, size)"""
+    return spark.createDataFrame(
+        rows, "bucket string, key string, e_tag string, size long")
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    prev = _listing(spark, [
+        ("b1", "a.txt", "v1", 10),       # unchanged
+        ("b1", "b.txt", "v1", 20),       # modified (etag bump)
+        ("b1", "c.txt", "v1", 30),       # deleted
+        ("b2", "d.txt", None, 40),       # null etag both sides → unchanged
+        ("b2", "e.txt", None, 50),       # null→value → modified
+        ("b2", "f.txt", "v1", 60),       # size-only change → modified
+    ])
+    cur = _listing(spark, [
+        ("b1", "a.txt", "v1", 10),
+        ("b1", "b.txt", "v2", 20),
+        ("b2", "d.txt", None, 40),
+        ("b2", "e.txt", "v9", 50),
+        ("b2", "f.txt", "v1", 61),
+        ("b3", "g.txt", "v1", 70),       # added
+    ])
+    return prev, cur
+
+
+class TestListingDiff:
+    def test_classification(self, spark, snapshots):
+        prev, cur = snapshots
+        got = {(r.bucket, r.key): r.change
+               for r in inc.listing_diff(cur, prev).collect()}
+        assert got == {
+            ("b1", "a.txt"): "unchanged",
+            ("b1", "b.txt"): "modified",
+            ("b1", "c.txt"): "deleted",
+            ("b2", "d.txt"): "unchanged",
+            ("b2", "e.txt"): "modified",
+            ("b2", "f.txt"): "modified",
+            ("b3", "g.txt"): "added",
+        }
+
+    def test_set_identities(self, spark, snapshots):
+        """unchanged+modified+added == current; +deleted == previous."""
+        prev, cur = snapshots
+        d = inc.listing_diff(cur, prev)
+        n = {r.change: r["count"]
+             for r in d.groupBy("change").count().collect()}
+        assert (n.get("unchanged", 0) + n.get("modified", 0)
+                + n.get("added", 0)) == cur.count()
+        assert (n.get("unchanged", 0) + n.get("modified", 0)
+                + n.get("deleted", 0)) == prev.count()
+
+    def test_recrawl_candidates_carry_current_metadata(self, spark,
+                                                       snapshots):
+        prev, cur = snapshots
+        cand = inc.recrawl_candidates(inc.listing_diff(cur, prev))
+        assert set(cand.columns) == {"bucket", "key", "change",
+                                     "e_tag", "size"}
+        rows = {(r.bucket, r.key): (r.e_tag, r.size)
+                for r in cand.collect()}
+        assert rows == {
+            ("b1", "b.txt"): ("v2", 20),
+            ("b2", "e.txt"): ("v9", 50),
+            ("b2", "f.txt"): ("v1", 61),
+            ("b3", "g.txt"): ("v1", 70),
+        }
+
+    def test_tombstones_purge_sink(self, spark, snapshots):
+        prev, cur = snapshots
+        diff = inc.listing_diff(cur, prev)
+        tomb = inc.deletion_tombstones(diff)
+        assert {(r.bucket, r.key) for r in tomb.collect()} == {
+            ("b1", "c.txt")}
+        indexed = prev.select("bucket", "key",
+                              F.lit("doc").alias("contents"))
+        kept = inc.apply_tombstones(indexed, tomb)
+        assert kept.count() == prev.count() - 1
+        assert kept.filter((F.col("bucket") == "b1")
+                           & (F.col("key") == "c.txt")).count() == 0
+
+    def test_version_cols_subset(self, spark, snapshots):
+        """ETag-only comparison ignores the size-only change."""
+        prev, cur = snapshots
+        got = {(r.bucket, r.key): r.change
+               for r in inc.listing_diff(cur, prev,
+                                         version_cols=("e_tag",))
+               .collect()}
+        assert got[("b2", "f.txt")] == "unchanged"
+        assert got[("b1", "b.txt")] == "modified"
+
+    def test_incremental_beats_full_recrawl(self, spark):
+        """At a mostly-unchanged large listing, the candidate set is the
+        changed fraction, not the listing."""
+        base = (spark.range(20_000)
+                .select(F.lit("b").alias("bucket"),
+                        F.concat(F.lit("k/"), F.col("id")).alias("key"),
+                        F.concat(F.lit("v"), (F.col("id") % 3))
+                        .alias("e_tag"),
+                        F.col("id").alias("size")))
+        cur = base.withColumn(
+            "e_tag", F.when(F.col("size") % 100 == 0, F.lit("bumped"))
+            .otherwise(F.col("e_tag")))
+        cand = inc.recrawl_candidates(inc.listing_diff(cur, base))
+        assert cand.count() == 200
