@@ -77,6 +77,14 @@ ROUNDS_SCHEMA = StructType([
 ])
 
 
+CYCLES_SCHEMA = StructType([
+    StructField("cycle", IntegerType(), False),
+    StructField("start_round", IntegerType(), False),
+    StructField("candidates", LongType(), True),
+    StructField("deleted", LongType(), True),
+])
+
+
 @dataclass
 class RoundSummary:
     round_id: int
@@ -85,6 +93,14 @@ class RoundSummary:
     discarded: int
     failed: int
     new_links: int
+
+
+@dataclass
+class CycleSummary:
+    cycle: int
+    start_round: int
+    candidates: int
+    deleted: int
 
 
 class CrawlDriver:
@@ -137,6 +153,10 @@ class CrawlDriver:
         self.rounds = self.catalog.table("rounds")
         self.robots = self.catalog.table("robots")
         self.seen_checkpoint = self.catalog.table("seen_checkpoint")
+        # incremental re-crawl cycles (operators/incremental.py)
+        self.listing = self.catalog.table("listing")
+        self.tombstones = self.catalog.table("tombstones")
+        self.cycles = self.catalog.table("cycles")
 
     # ----- state ------------------------------------------------------------
 
@@ -251,13 +271,19 @@ class CrawlDriver:
             out = out.unionByName(extra, allowMissingColumns=True)
         return out
 
-    def committed_seen(self) -> DataFrame:
+    def committed_seen(self, min_round: int = 0) -> DataFrame:
         """Seen rows from ledger-committed snapshots only (crash-replay
         safety: orphan appends never become visible).
 
         With a seen CHECKPOINT installed (``compact_seen``), the read is
         checkpoint ∪ ledgered deltas of rounds after it — O(1) + O(rounds
-        since checkpoint) directories instead of O(all rounds)."""
+        since checkpoint) directories instead of O(all rounds).
+
+        ``min_round`` scopes the seen-set to rounds ≥ it — the incremental
+        re-crawl generation boundary (``cycle_start``): URLs seen by
+        earlier cycles become re-admittable without deleting anything.
+        Bloom blobs keep accumulating across cycles; harmless, because a
+        bloom positive is always confirmed against this scoped exact set."""
         ckpt_round = -1
         parts: list[DataFrame] = []
         if self.seen_checkpoint.exists():
@@ -278,6 +304,9 @@ class CrawlDriver:
         out = parts[0]
         for extra in parts[1:]:
             out = out.unionByName(extra, allowMissingColumns=True)
+        if min_round > 0:
+            out = out.filter(
+                F.coalesce(F.col("round"), F.lit(0)) >= min_round)
         return out
 
     def compact_seen(self) -> int:
@@ -320,6 +349,7 @@ class CrawlDriver:
         rows by doc_id for link extraction (interleaved text+media docs).
         """
         cfg = self.cfg
+        start = self.cycle_start()
         frontier_df = self.frontier.read()
         if "round" in frontier_df.columns:
             # Replay determinism: schedule round N only over frontier rows
@@ -327,9 +357,13 @@ class CrawlDriver:
             # a crashed round-N attempt carry round N+1 and are invisible to
             # the replay; once committed, the replayed append duplicates
             # them with identical rows, collapsed by in-batch dedup.
+            # The lower bound is the incremental-cycle boundary: an active
+            # cycle schedules ONLY its own candidate rows (pre-cycle
+            # pending rows were either crawled or superseded by the diff).
+            rnd = F.coalesce(F.col("round"), F.lit(0))
             frontier_df = frontier_df.filter(
-                F.coalesce(F.col("round"), F.lit(0)) <= F.lit(round_id))
-        seen_df = self.committed_seen()
+                (rnd <= F.lit(round_id)) & (rnd >= F.lit(start)))
+        seen_df = self.committed_seen(min_round=start)
         blooms, bloom_size = None, None
         if self.use_bloom and self.seen_bloom.exists():
             blooms = self.seen_bloom.read()
@@ -498,6 +532,126 @@ class CrawlDriver:
         128 MB)."""
         return self.frontier.compact(partitions,
                                      {"round": self.last_round()})
+
+    # ----- incremental re-crawl cycles ---------------------------------------
+
+    def cycle_start(self) -> int:
+        """First round of the ACTIVE incremental cycle, or 0 (whole-crawl
+        window — no cycle ever began). Scheduling and the seen-set are
+        scoped to rounds ≥ this boundary."""
+        if not self.cycles.exists():
+            return 0
+        row = self.cycles.read().agg(F.max("start_round")).first()
+        return int(row[0]) if row[0] is not None else 0
+
+    def begin_incremental_cycle(self, listing_df: DataFrame, *,
+                                version_cols=("etag", "size"),
+                                ) -> CycleSummary:
+        """Start a re-crawl cycle from a fresh listing snapshot: diff it
+        against the stored previous listing (operators/incremental.py),
+        seed ONLY the changed fraction (added + modified) as next-round
+        frontier candidates, record deletion tombstones, and open a new
+        seen-set generation so modified URLs are re-admittable without
+        deleting anything from the ledger.
+
+        First call (no stored listing) treats the whole listing as added —
+        a full crawl — and later calls are incremental. The cycles-table
+        append is the commit point; a crash before it leaves orphan
+        candidate/tombstone appends that a re-run makes effective again
+        (candidate duplicates collapse in in-batch dedup, tombstone
+        duplicates collapse in read_live_index's max-round resolution), so
+        re-running ``begin_incremental_cycle`` after a crash is always
+        safe. Begin a cycle only after the previous one drained
+        (``run(..., stop_when_empty=True)`` until ``admitted == 0``):
+        change detection is listing-vs-listing, so a pending-but-uncrawled
+        URL whose object did not change since the last listing classifies
+        as unchanged and will not be re-seeded.
+        The stored listing is overwritten BEFORE the commit point:
+        a crash between the two can only make the next diff see an
+        already-handled change as unchanged after a successful re-run —
+        never lose one (the re-run recommits the cycle window over the
+        crashed attempt's still-visible candidates)."""
+        from pyspark.sql import Observation
+        from fess_ds_s3_spark.operators import incremental as inc
+        start_round = self.last_round() + 1
+        cycle_id = 1
+        if self.cycles.exists():
+            prev_cycle = self.cycles.read().agg(F.max("cycle")).first()[0]
+            cycle_id = int(prev_cycle or 0) + 1
+
+        if self.listing.exists():
+            diff = inc.listing_diff(listing_df, self.listing.read(),
+                                    version_cols=version_cols)
+            cand = inc.recrawl_candidates(diff, version_cols=version_cols)
+            tombs = inc.deletion_tombstones(diff)
+        else:
+            cand = listing_df.withColumn("change", F.lit("added"))
+            tombs = listing_df.select("bucket", "key").limit(0)
+
+        size_col = (F.col("size") if "size" in cand.columns
+                    else F.lit(0))  # size absent iff not in version_cols
+        cand_rows = round_plan.prepare_frontier(
+            cand.select(
+                "bucket", "key", size_col.cast("long").alias("size"),
+                F.lit(0).cast("int").alias("priority"),
+                # deterministic discovery order: cycle sequence, not clock
+                F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
+            ), self.cfg, encode_urls=self.encode_urls,
+        ).withColumn("round", F.lit(start_round))
+        obs_c = Observation()
+        cand_rows = cand_rows.observe(obs_c, F.count(F.lit(1)).alias("n"))
+        cand_snap = self.frontier.append(
+            cand_rows, {"round": start_round, "kind": "recrawl-candidates",
+                        "cycle": cycle_id})
+        n_cand = int(obs_c.get["n"])
+        if n_cand == 0:
+            self.frontier.drop_if_current(cand_snap)
+
+        obs_t = Observation()
+        tomb_rows = (tombs.withColumn("round",
+                                      F.lit(start_round).cast("int"))
+                     .observe(obs_t, F.count(F.lit(1)).alias("n")))
+        tomb_snap = self.tombstones.append(
+            tomb_rows, {"round": start_round, "cycle": cycle_id})
+        n_tomb = int(obs_t.get["n"])
+        if n_tomb == 0:
+            self.tombstones.drop_if_current(tomb_snap)
+
+        self.listing.overwrite(listing_df, {"cycle": cycle_id})
+        summary = CycleSummary(cycle=cycle_id, start_round=start_round,
+                               candidates=n_cand, deleted=n_tomb)
+        # commit point: the cycle (and its seen-generation boundary) exists
+        # once this row is visible
+        self.cycles.append(
+            self.spark.createDataFrame(
+                [(cycle_id, start_round, n_cand, n_tomb)], CYCLES_SCHEMA),
+            {"cycle": cycle_id})
+        return summary
+
+    def read_live_index(self) -> DataFrame:
+        """The CURRENT document set across all cycles: committed indexed
+        rows resolved to the latest round per object key, minus keys whose
+        latest tombstone is newer than that row (deleted and not since
+        re-created). One shuffle on the natural key; max_by partial-
+        aggregates map-side, so the resolution is a single hash aggregate
+        even over 10^9 indexed rows."""
+        idx = self.read_committed("indexed")
+        # indexed rows carry the objectMap's `bucket_name` (P5); raw
+        # frontier-shaped sinks carry `bucket` — resolve either
+        bcol = "bucket" if "bucket" in idx.columns else "bucket_name"
+        latest = (idx.groupBy(bcol, "key")
+                  .agg(F.max_by(F.struct(*idx.columns), F.col("round"))
+                       .alias("_row"))
+                  .select("_row.*"))
+        if not self.tombstones.exists():
+            return latest
+        last_tomb = (self.tombstones.read()
+                     .groupBy(F.col("bucket").alias(bcol), "key")
+                     .agg(F.max("round").alias("_tomb_round")))
+        return (latest.join(last_tomb, [bcol, "key"], "left")
+                .filter(F.col("_tomb_round").isNull()
+                        | (F.col("round") > F.col("_tomb_round")))
+                .drop("_tomb_round"))
 
     # ----- loop ---------------------------------------------------------------
 

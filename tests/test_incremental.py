@@ -119,3 +119,92 @@ class TestListingDiff:
             .otherwise(F.col("e_tag")))
         cand = inc.recrawl_candidates(inc.listing_diff(cur, base))
         assert cand.count() == 200
+
+
+class TestIncrementalCycles:
+    """Driver-level re-crawl cycles: listing snapshot → diff → crawl only
+    the changed fraction; deletions tombstone out of the live index;
+    modified URLs re-admit across seen-set generations."""
+
+    def _store(self, tmp_path):
+        import os
+        root = str(tmp_path / "store")
+        os.makedirs(f"{root}/b/docs", exist_ok=True)
+        for k, text in [("a", "alpha"), ("b", "bravo"), ("c", "charlie"),
+                        ("d", "delta"), ("e", "echo")]:
+            with open(f"{root}/b/docs/{k}.txt", "w") as f:
+                f.write(text)
+        return root
+
+    def _listing(self, spark, root, cfg):
+        from fess_ds_s3_spark.sources.object_store import list_objects_df
+        return list_objects_df(spark, root, cfg)
+
+    def test_cycle_lifecycle(self, spark, tmp_path):
+        import os
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        root = self._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root)
+
+        # cycle 1: no stored listing → everything is added (full crawl)
+        c1 = driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        assert (c1.cycle, c1.start_round) == (1, 0)
+        assert (c1.candidates, c1.deleted) == (5, 0)
+        driver.run(5)
+        live = {r.key: r.contents for r in driver.read_live_index()
+                .select("key", "contents").collect()}
+        assert live == {"docs/a.txt": "alpha", "docs/b.txt": "bravo",
+                        "docs/c.txt": "charlie", "docs/d.txt": "delta",
+                        "docs/e.txt": "echo"}
+
+        # mutate: modify a, delete b, add f
+        with open(f"{root}/b/docs/a.txt", "w") as f:
+            f.write("ALPHA-CHANGED")
+        os.remove(f"{root}/b/docs/b.txt")
+        with open(f"{root}/b/docs/f.txt", "w") as f:
+            f.write("foxtrot")
+
+        # cycle 2: only the changed fraction is seeded
+        c2 = driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        assert (c2.candidates, c2.deleted) == (2, 1)
+        s2 = driver.run(5)
+        # exactly the 2 candidates were admitted (seen-generation scoping
+        # re-admits the modified URL, and nothing else re-crawls)
+        assert sum(s.admitted for s in s2) == 2
+        live = {r.key: r.contents for r in driver.read_live_index()
+                .select("key", "contents").collect()}
+        assert live == {"docs/a.txt": "ALPHA-CHANGED",
+                        "docs/c.txt": "charlie", "docs/d.txt": "delta",
+                        "docs/e.txt": "echo", "docs/f.txt": "foxtrot"}
+
+        # cycle 3: re-create a previously deleted key → live again
+        with open(f"{root}/b/docs/b.txt", "w") as f:
+            f.write("bravo-again")
+        c3 = driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        assert (c3.candidates, c3.deleted) == (1, 0)
+        driver.run(5)
+        live = {r.key: r.contents for r in driver.read_live_index()
+                .select("key", "contents").collect()}
+        assert live["docs/b.txt"] == "bravo-again"
+        assert len(live) == 6
+
+    def test_unchanged_cycle_is_a_noop(self, spark, tmp_path):
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        root = self._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root)
+        driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        driver.run(5)
+        before = driver.read_live_index().count()
+        c2 = driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        assert (c2.candidates, c2.deleted) == (0, 0)
+        s = driver.run(5)
+        assert sum(x.admitted for x in s) == 0
+        assert driver.read_live_index().count() == before
