@@ -82,6 +82,56 @@ def continuous_crawl(spark: SparkSession, frontier_stream: DataFrame,
             .start())
 
 
+def stream_listing_manifests(spark: SparkSession,
+                             manifest_dir: str) -> DataFrame:
+    """readStream over a directory of listing-manifest files: each JSON
+    line ``{"listing_path": "..."}`` announces one COMPLETE listing
+    snapshot (written atomically elsewhere — e.g. by a scheduled
+    ``list_objects_df(...).write.parquet(path)`` job). Streaming the
+    manifest instead of the listing rows keeps snapshot atomicity: a
+    micro-batch can never see half a listing."""
+    return (spark.readStream.schema("listing_path string")
+            .json(manifest_dir))
+
+
+def continuous_incremental_crawl(
+        spark: SparkSession, manifest_stream: DataFrame,
+        driver: CrawlDriver, *, checkpoint_dir: str,
+        version_cols=("etag", "size"),
+        max_rounds_per_cycle: int = 100,
+        host_budgets: DataFrame | None = None,
+        on_cycle: Callable[[object], None] | None = None,
+        ) -> StreamingQuery:
+    """Continuous CDC-style crawl: each manifest row triggers one
+    incremental re-crawl cycle (``CrawlDriver.begin_incremental_cycle`` —
+    diff the announced listing against the stored one, crawl only the
+    changed fraction, tombstone deletions) drained to exhaustion.
+
+    Crash/replay: the streaming checkpoint replays an unacknowledged
+    micro-batch; ``begin_incremental_cycle`` is replay-safe (a re-run
+    over an already-stored listing yields an empty diff, while the
+    crashed attempt's still-visible candidates schedule in the recommitted
+    cycle window), and the generation-scoped seen-set keeps the sink
+    exactly-once at the URL level per cycle. The driver loop over manifest
+    rows is driver-side by design — a micro-batch carries a handful of
+    manifest POINTERS, never listing rows."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.select("listing_path").toLocalIterator():
+            listing = spark.read.parquet(row.listing_path)
+            summary = driver.begin_incremental_cycle(
+                listing, version_cols=version_cols)
+            driver.run(max_rounds_per_cycle, host_budgets=host_budgets)
+            if on_cycle is not None:
+                on_cycle(summary)
+
+    return (manifest_stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .foreachBatch(_process)
+            .start())
+
+
 #: output schema of :func:`host_rate_state`
 HOST_RATE_SCHEMA = ("host string, window_start long, n_fetches long, "
                     "throttled boolean")

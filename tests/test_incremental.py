@@ -192,6 +192,60 @@ class TestIncrementalCycles:
         assert live["docs/b.txt"] == "bravo-again"
         assert len(live) == 6
 
+    def test_continuous_incremental_stream(self, spark, tmp_path):
+        """Streaming variant: listing manifests trigger incremental cycles;
+        a restarted stream with the same checkpoint does not re-run
+        acknowledged manifests."""
+        import json
+        import os
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        from fess_ds_s3_spark.streaming.rounds import (
+            continuous_incremental_crawl, stream_listing_manifests)
+        root = self._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root)
+        mdir = str(tmp_path / "manifests")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(mdir)
+        cycles = []
+
+        def announce(n):
+            lpath = str(tmp_path / f"listing-{n}")
+            self._listing(spark, root, cfg).write.parquet(lpath)
+            with open(f"{mdir}/m{n}.json", "w") as f:
+                f.write(json.dumps({"listing_path": lpath}) + "\n")
+
+        def drain():
+            q = continuous_incremental_crawl(
+                spark, stream_listing_manifests(spark, mdir), driver,
+                checkpoint_dir=ckpt, on_cycle=cycles.append)
+            q.awaitTermination(120)
+
+        announce(1)
+        drain()
+        assert [c.candidates for c in cycles] == [5]
+        assert driver.read_live_index().count() == 5
+
+        # mutate then announce a second listing; restart the stream
+        os.remove(f"{root}/b/docs/e.txt")
+        with open(f"{root}/b/docs/g.txt", "w") as f:
+            f.write("golf")
+        announce(2)
+        drain()
+        # manifest 1 was not replayed; cycle 2 crawled only the change
+        assert [(c.candidates, c.deleted) for c in cycles] == [(5, 0),
+                                                               (1, 1)]
+        live = {r.key for r in driver.read_live_index()
+                .select("key").collect()}
+        assert "docs/e.txt" not in live and "docs/g.txt" in live
+
+        # no new manifest → restarted stream runs zero cycles
+        drain()
+        assert len(cycles) == 2
+
     def test_unchanged_cycle_is_a_noop(self, spark, tmp_path):
         from fess_ds_s3_spark.config import CrawlConfig
         from fess_ds_s3_spark.plans.crawl import CrawlDriver
