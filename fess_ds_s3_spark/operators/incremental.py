@@ -88,6 +88,25 @@ def listing_diff(current: DataFrame, previous: DataFrame, *,
                     *[f"prev_{c}" for c in version_cols])
 
 
+def ingest_listing(df: DataFrame, *, table: str, path: str,
+                   n_buckets: int,
+                   key_cols: Sequence[str] = DEFAULT_KEY_COLS) -> None:
+    """Store a listing snapshot CLUSTERED BY the object key so
+    snapshot-to-snapshot diffs run with ZERO exchanges: two bucketed scans
+    report ``HashPartitioning(key_cols, n)`` and the full-outer
+    sort-merge join consumes them in place (the same storage-partitioning
+    trick plans/bucketed.py uses for hosts — at a 10^9-object listing the
+    diff's two shuffles ARE its cost, and this moves them to write time).
+    Write each snapshot to its own table/path (prev and current must
+    coexist); both must use the same ``n_buckets`` or Spark re-shuffles
+    one side."""
+    (df.repartition(n_buckets, *key_cols)
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, *key_cols)
+     .option("path", path)
+     .saveAsTable(table))
+
+
 def recrawl_candidates(diff: DataFrame, *,
                        version_cols: Sequence[str] = DEFAULT_VERSION_COLS,
                        ) -> DataFrame:

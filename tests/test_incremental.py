@@ -121,6 +121,64 @@ class TestListingDiff:
         assert cand.count() == 200
 
 
+class TestBucketedListingDiff:
+    def test_diff_over_bucketed_snapshots_is_exchange_free(self, spark,
+                                                           snapshots,
+                                                           tmp_path):
+        prev, cur = snapshots
+        for name, df in [("t_listing_prev", prev), ("t_listing_cur", cur)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            inc.ingest_listing(df, table=name,
+                               path=str(tmp_path / name), n_buckets=4)
+        d = inc.listing_diff(spark.table("t_listing_cur"),
+                             spark.table("t_listing_prev"))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        got = {(r.bucket, r.key): r.change for r in d.collect()}
+        want = {(r.bucket, r.key): r.change
+                for r in inc.listing_diff(cur, prev).collect()}
+        assert got == want
+
+
+class TestDiffProperties:
+    def test_hypothesis_diff_matches_python_model(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        etags = st.one_of(st.none(), st.sampled_from(["v1", "v2", "v3"]))
+        listing = st.dictionaries(
+            st.tuples(st.sampled_from(["b1", "b2"]),
+                      st.integers(0, 30).map(lambda i: f"k{i}")),
+            st.tuples(etags, st.integers(0, 3)),
+            max_size=25)
+
+        @settings(max_examples=15, deadline=None)
+        @given(prev=listing, cur=listing)
+        def check(prev, cur):
+            def df_of(d):
+                rows = [(b, k, e, s) for (b, k), (e, s) in d.items()]
+                return spark.createDataFrame(
+                    rows or [("_", "_", None, 0)],
+                    "bucket string, key string, e_tag string, size long"
+                ).filter(F.col("bucket") != "_")
+
+            got = {(r.bucket, r.key): r.change
+                   for r in inc.listing_diff(df_of(cur),
+                                             df_of(prev)).collect()}
+            want = {}
+            for key in set(prev) | set(cur):
+                if key not in prev:
+                    want[key] = "added"
+                elif key not in cur:
+                    want[key] = "deleted"
+                elif prev[key] == cur[key]:
+                    want[key] = "unchanged"
+                else:
+                    want[key] = "modified"
+            assert got == want
+
+        check()
+
+
 class TestIncrementalCycles:
     """Driver-level re-crawl cycles: listing snapshot → diff → crawl only
     the changed fraction; deletions tombstone out of the live index;
