@@ -834,6 +834,57 @@ def q_listing_diff(spark, sf_dir):
     return inc.listing_diff(cur, prev)
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive re-crawl scheduling (operators/incremental.py): per-object
+    change-rate estimation over a 4-cycle diff history → Laplace-smoothed
+    rate, clamped re-crawl interval, next-due cycle, priority (the Nutch
+    AdaptiveFetchSchedule model as ONE aggregate — no per-fetch mutable
+    state). History is synthesized deterministically from the frontier:
+    first observation at cycle 1 + doc_id%2, 'modified' when
+    (doc_id+cycle)%3==0, 'deleted' at cycle 4 for doc_id%17==0 (excluded
+    from the schedule). One shuffle with map-side partial agg; the 100 TB
+    shape is a scan-side filter on next_cycle afterwards."""
+    from fess_ds_s3_spark.operators import incremental as inc
+    f = _frontier(spark, sf_dir)
+    first = (F.col("doc_id") % 2 + 1).cast("int")
+    obs = (f.select("bucket", "key", "doc_id", first.alias("first_cycle"))
+           .select("bucket", "key", "doc_id", "first_cycle",
+                   F.explode(F.sequence(F.col("first_cycle"), F.lit(4)))
+                   .alias("cycle")))
+    change = (F.when(F.col("cycle") == F.col("first_cycle"), F.lit("added"))
+              .when((F.col("cycle") == 4) & (F.col("doc_id") % 17 == 0),
+                    F.lit("deleted"))
+              .when((F.col("doc_id") + F.col("cycle")) % 3 == 0,
+                    F.lit("modified"))
+              .otherwise(F.lit("unchanged")))
+    hist = obs.select("bucket", "key", "cycle", change.alias("change"))
+    return inc.change_rate_priority(hist, base_interval=8)
+
+
+def q_prefetch_dedup(spark, sf_dir):
+    """Pre-fetch content-identity dedup (operators/dedup.prefetch_dedup):
+    route admitted candidates to fetch / copy_known / copy_batch on
+    (e_tag, size) identity BEFORE the GET — the cheapest dedup tier (the
+    reference carries the content-derived ETag into every objectMap,
+    AmazonS3DataStore.java:103, without exploiting it). Identities are
+    synthesized for collisions: e_tag = e<doc_id%10> (NULL on doc_id%11),
+    size = doc_id%7 — a 70-identity space so every action occurs at every
+    SF; the known index = every 10th object under idx:// URLs. Known side
+    reduces to one row per identity; the in-batch window reuses the
+    join's partitioning — one shuffle end-to-end."""
+    from fess_ds_s3_spark.operators import dedup
+    f = _frontier(spark, sf_dir)
+    etag = (F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("e"),
+                                (F.col("doc_id") % 10).cast("string"))))
+    ident = [etag.alias("e_tag"), (F.col("doc_id") % 7).alias("size")]
+    cand = f.select("url", *ident)
+    known = (f.filter(F.col("doc_id") % 10 == 0)
+             .select(F.concat(F.lit("idx://"), F.col("key")).alias("url"),
+                     *ident))
+    return dedup.prefetch_dedup(cand, known)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -890,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "multiround_crawl": q_multiround_crawl,
         "listing_diff": q_listing_diff,
+        "recrawl_schedule": q_recrawl_schedule,
+        "prefetch_dedup": q_prefetch_dedup,
     }
 
 
@@ -1461,4 +1514,85 @@ def oracle_sql() -> dict[str, str]:
                    p.e_tag AS prev_e_tag, p.size AS prev_size
             FROM cur c FULL OUTER JOIN prev p
               ON c.bucket = p.bucket AND c.key = p.key""",
+        "recrawl_schedule": FRONTIER_CTE + """,
+            obs AS (
+              SELECT bucket, key, doc_id,
+                     1 + doc_id % 2 AS first_cycle, c.cycle
+              FROM frontier,
+                   (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS cycle) c
+              WHERE c.cycle >= 1 + doc_id % 2
+            ),
+            labeled AS (
+              SELECT bucket, key, cycle,
+                     CASE WHEN cycle = first_cycle THEN 'added'
+                          WHEN cycle = 4 AND doc_id % 17 = 0 THEN 'deleted'
+                          WHEN (doc_id + cycle) % 3 = 0 THEN 'modified'
+                          ELSE 'unchanged' END AS change
+              FROM obs
+            ),
+            agg AS (
+              SELECT bucket, key,
+                     COUNT(*) AS n_obs,
+                     CAST(SUM(CASE WHEN change IN ('modified', 'added')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mod,
+                     MAX(cycle) AS last_cycle
+              FROM labeled WHERE change <> 'deleted'
+              GROUP BY bucket, key
+            ),
+            rated AS (
+              SELECT *, CAST(n_mod + 1 AS DOUBLE)
+                        / CAST(n_obs + 2 AS DOUBLE) AS rate
+              FROM agg
+            ),
+            sched AS (
+              SELECT *,
+                     LEAST(CAST(64 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                       CAST(ROUND(CAST(8 AS DOUBLE) * (1 - rate) / rate)
+                            AS BIGINT))) AS recrawl_interval
+              FROM rated
+            )
+            SELECT bucket, key, n_obs, n_mod, last_cycle,
+                   rate AS change_rate, recrawl_interval,
+                   last_cycle + recrawl_interval AS next_cycle,
+                   rate AS priority
+            FROM sched""",
+        "prefetch_dedup": FRONTIER_CTE + """,
+            tagged AS (
+              SELECT url, key, doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          ELSE 'e' || CAST(doc_id % 10 AS VARCHAR)
+                     END AS e_tag,
+                     doc_id % 7 AS size
+              FROM frontier
+            ),
+            cand AS (SELECT url, e_tag, size FROM tagged),
+            known AS (
+              SELECT 'idx://' || key AS url, e_tag, size
+              FROM tagged WHERE doc_id % 10 = 0
+            ),
+            krep AS (
+              SELECT e_tag, size, MIN(url) AS known_src
+              FROM known WHERE e_tag IS NOT NULL
+              GROUP BY e_tag, size
+            ),
+            j AS (
+              SELECT c.url, c.e_tag, c.size, k.known_src
+              FROM cand c LEFT JOIN krep k
+                ON c.e_tag = k.e_tag AND c.size = k.size
+            ),
+            w AS (
+              SELECT *, MIN(url) OVER (PARTITION BY e_tag, size)
+                        AS batch_src
+              FROM j
+            )
+            SELECT url, e_tag, size,
+                   CASE WHEN known_src IS NOT NULL THEN 'copy_known'
+                        WHEN e_tag IS NULL THEN 'fetch'
+                        WHEN url = batch_src THEN 'fetch'
+                        ELSE 'copy_batch' END AS fetch_action,
+                   CASE WHEN known_src IS NOT NULL THEN known_src
+                        WHEN e_tag IS NULL THEN NULL
+                        WHEN url = batch_src THEN NULL
+                        ELSE batch_src END AS src_url
+            FROM w""",
     }

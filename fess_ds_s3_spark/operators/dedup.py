@@ -39,6 +39,61 @@ _MERSENNE31 = (1 << 31) - 1
 
 
 # ---------------------------------------------------------------------------
+# 0. pre-fetch content-identity dedup (cheapest tier: skip the GET itself)
+# ---------------------------------------------------------------------------
+
+def prefetch_dedup(candidates: DataFrame, known: DataFrame, *,
+                   etag_col: str = "e_tag", size_col: str = "size",
+                   url_col: str = "url") -> DataFrame:
+    """Route admitted fetch candidates by content identity BEFORE the GET.
+
+    S3's ETag is content-derived (md5 for single-part uploads), and the
+    reference carries it into every objectMap (AmazonS3DataStore.java:103)
+    without using it. At crawl scale the cheapest dedup tier is the one
+    that never fetches: an object whose ``(e_tag, size)`` matches an
+    already-indexed object, or an earlier candidate in the same admitted
+    batch, can copy that row's extracted content instead of issuing a GET.
+
+    Returns ``candidates``'s columns plus:
+
+    - ``fetch_action`` — ``fetch`` (issue the GET), ``copy_known``
+      (identical content already in the index), or ``copy_batch``
+      (an in-batch twin with a smaller URL fetches; copy from it).
+    - ``src_url`` — the URL to copy from (NULL for ``fetch``).
+
+    Candidates with a NULL ETag always fetch (no identity to trust —
+    the null-degradation twin of :func:`listing_diff`'s version compare).
+    Multipart-upload ETags are not md5s but remain write-unique, so
+    equality still implies same stored bytes.
+
+    Scale shape: the known side reduces to one row per ``(e_tag, size)``
+    (min-URL representative; map-side combine), candidates join it on
+    those keys, and the in-batch window partitions by the SAME keys — so
+    the join's output partitioning feeds the window with no further
+    exchange. Everything is JVM column logic; AQE broadcasts the known
+    side when the index's distinct-content set is small.
+    """
+    keys = [etag_col, size_col]
+    known_rep = (known.filter(F.col(etag_col).isNotNull())
+                 .groupBy(*keys)
+                 .agg(F.min(url_col).alias("_known_src")))
+    j = candidates.join(known_rep, on=keys, how="left")
+    w = Window.partitionBy(*keys)
+    batch_src = F.min(url_col).over(w)
+    action = (F.when(F.col("_known_src").isNotNull(), F.lit("copy_known"))
+              .when(F.col(etag_col).isNull(), F.lit("fetch"))
+              .when(F.col(url_col) == batch_src, F.lit("fetch"))
+              .otherwise(F.lit("copy_batch")))
+    src = (F.when(F.col("_known_src").isNotNull(), F.col("_known_src"))
+           .when(F.col(etag_col).isNull(), F.lit(None))
+           .when(F.col(url_col) == batch_src, F.lit(None))
+           .otherwise(batch_src))
+    return (j.select(*candidates.columns,
+                     action.alias("fetch_action"),
+                     src.alias("src_url")))
+
+
+# ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
 

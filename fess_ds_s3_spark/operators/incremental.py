@@ -121,6 +121,67 @@ def recrawl_candidates(diff: DataFrame, *,
         *[F.col(f"cur_{c}").alias(c) for c in version_cols])
 
 
+def change_rate_priority(history: DataFrame, *,
+                         key_cols: Sequence[str] = DEFAULT_KEY_COLS,
+                         base_interval: int = 8,
+                         min_interval: int = 1,
+                         max_interval: int = 64) -> DataFrame:
+    """Estimate per-object change rate from a diff history and derive a
+    re-crawl interval + priority (the Nutch ``AdaptiveFetchSchedule``
+    model — public design — expressed as one aggregate instead of
+    per-fetch mutable state).
+
+    ``history`` holds one row per (object, cycle) observation:
+    ``key_cols`` + ``cycle:int`` + ``change:string`` (the
+    :func:`listing_diff` labels). Output per key:
+
+    - ``n_obs`` / ``n_mod`` — observations and observed modifications
+      (``added`` counts as a modification: the first write).
+    - ``change_rate`` — Laplace-smoothed ``(n_mod + 1) / (n_obs + 2)``,
+      so a never-observed-changing object keeps a nonzero rate and a
+      single-observation object is not pinned to 0 or 1.
+    - ``recrawl_interval`` — cycles to wait between re-crawls:
+      ``clamp(base_interval * (1 - rate) / rate, min, max)`` rounded to
+      int. An object changing every cycle (rate→1) re-crawls every
+      ``min_interval``; a static object backs off toward
+      ``max_interval``.
+    - ``next_cycle`` — ``last_cycle + recrawl_interval``.
+    - ``priority`` — ``change_rate`` (feed to the politeness ranking so
+      hot objects win admission ties).
+
+    Scale shape: one shuffle on ``key_cols`` with map-side partial
+    aggregation (count/max/sum all combine); pure JVM column math after.
+    Deleted keys are excluded (tombstones handle them).
+    """
+    keys = list(key_cols)
+    is_mod = F.col("change").isin("modified", "added").cast("long")
+    agg = (history.filter(F.col("change") != "deleted")
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                F.sum(is_mod).alias("n_mod"),
+                F.max("cycle").alias("last_cycle")))
+    rate = (F.col("n_mod") + F.lit(1.0)) / (F.col("n_obs") + F.lit(2.0))
+    interval = F.round(F.lit(float(base_interval))
+                       * (F.lit(1.0) - rate) / rate).cast("long")
+    interval = F.least(F.lit(max_interval),
+                       F.greatest(F.lit(min_interval), interval))
+    return agg.select(
+        *keys, "n_obs", "n_mod", "last_cycle",
+        rate.alias("change_rate"),
+        interval.alias("recrawl_interval"),
+        (F.col("last_cycle") + interval).alias("next_cycle"),
+        rate.alias("priority"))
+
+
+def due_for_recrawl(schedule: DataFrame, cycle: int) -> DataFrame:
+    """Keys whose re-crawl is due at ``cycle``: ``next_cycle <= cycle``.
+    A plain filter over the schedule table — pushes into the scan when the
+    schedule is stored as parquet, so an overwhelmingly not-due 10^9-key
+    schedule reads only the due fraction's row groups (min/max pruning on
+    ``next_cycle``)."""
+    return schedule.filter(F.col("next_cycle") <= F.lit(cycle))
+
+
 def deletion_tombstones(diff: DataFrame, *,
                         key_cols: Sequence[str] = DEFAULT_KEY_COLS,
                         ) -> DataFrame:

@@ -160,3 +160,60 @@ class TestSimHash:
             for shift, width in blocks:
                 assert shift == pos
                 pos += width
+
+
+class TestPrefetchDedup:
+    def _frames(self, spark):
+        cand = spark.createDataFrame([
+            ("u01", "e1", 10),   # known content        -> copy_known
+            ("u02", "e2", 20),   # new, unique           -> fetch
+            ("u03", "e3", 30),   # new, twin of u04      -> fetch (min url)
+            ("u04", "e3", 30),   # in-batch twin         -> copy_batch u03
+            ("u05", None, 40),   # null etag             -> fetch
+            ("u06", None, 40),   # null etag (same size) -> fetch too
+            ("u07", "e1", 11),   # same etag, DIFFERENT size -> fetch
+        ], "url string, e_tag string, size long")
+        known = spark.createDataFrame([
+            ("k-old", "e1", 10),
+            ("k-older", "e1", 10),   # min url wins as src
+            ("k-null", None, 99),    # null etag in index is no identity
+        ], "url string, e_tag string, size long")
+        return cand, known
+
+    def test_routing_and_sources(self, spark):
+        cand, known = self._frames(spark)
+        out = {r.url: (r.fetch_action, r.src_url)
+               for r in dedup.prefetch_dedup(cand, known).collect()}
+        assert out == {
+            "u01": ("copy_known", "k-old"),
+            "u02": ("fetch", None),
+            "u03": ("fetch", None),
+            "u04": ("copy_batch", "u03"),
+            "u05": ("fetch", None),
+            "u06": ("fetch", None),
+            "u07": ("fetch", None),
+        }
+
+    def test_candidate_columns_preserved(self, spark):
+        cand, known = self._frames(spark)
+        out = dedup.prefetch_dedup(cand, known)
+        assert out.columns == ["url", "e_tag", "size",
+                               "fetch_action", "src_url"]
+        assert out.count() == cand.count()
+
+    def test_every_copy_has_a_fetch_or_index_source(self, spark):
+        cand, known = self._frames(spark)
+        out = dedup.prefetch_dedup(cand, known)
+        fetched = {r.url for r in
+                   out.filter(F.col("fetch_action") == "fetch").collect()}
+        indexed = {"k-old", "k-older", "k-null"}
+        for r in out.filter(F.col("fetch_action") != "fetch").collect():
+            assert r.src_url in (fetched | indexed)
+
+    def test_empty_known_side(self, spark):
+        cand, known = self._frames(spark)
+        out = {r.url: r.fetch_action
+               for r in dedup.prefetch_dedup(cand,
+                                             known.limit(0)).collect()}
+        assert "copy_known" not in out.values()
+        assert out["u03"] == "fetch" and out["u04"] == "copy_batch"

@@ -320,3 +320,75 @@ class TestIncrementalCycles:
         s = driver.run(5)
         assert sum(x.admitted for x in s) == 0
         assert driver.read_live_index().count() == before
+
+
+class TestChangeRatePriority:
+    def _history(self, spark):
+        # key (b,k): observations over cycles 1..4
+        rows = [
+            # hot.txt: modified every cycle
+            ("b", "hot.txt", 1, "added"),
+            ("b", "hot.txt", 2, "modified"),
+            ("b", "hot.txt", 3, "modified"),
+            ("b", "hot.txt", 4, "modified"),
+            # cold.txt: never changes after creation
+            ("b", "cold.txt", 1, "added"),
+            ("b", "cold.txt", 2, "unchanged"),
+            ("b", "cold.txt", 3, "unchanged"),
+            ("b", "cold.txt", 4, "unchanged"),
+            # warm.txt: one change
+            ("b", "warm.txt", 3, "added"),
+            ("b", "warm.txt", 4, "modified"),
+            # gone.txt: deleted rows are excluded entirely
+            ("b", "gone.txt", 1, "added"),
+            ("b", "gone.txt", 2, "deleted"),
+        ]
+        return spark.createDataFrame(
+            rows, "bucket string, key string, cycle int, change string")
+
+    def test_rates_intervals_and_next_cycle(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        out = {r.key: r for r in
+               inc.change_rate_priority(self._history(spark),
+                                        base_interval=8).collect()}
+        hot, cold, warm, gone = (out["hot.txt"], out["cold.txt"],
+                                 out["warm.txt"], out.get("gone.txt"))
+        # hot: 4 obs, 4 mods -> rate 5/6; interval 8*(1/6)/(5/6)=1.6 -> 2
+        assert (hot.n_obs, hot.n_mod) == (4, 4)
+        assert abs(hot.change_rate - 5 / 6) < 1e-12
+        assert hot.recrawl_interval == 2 and hot.next_cycle == 6
+        # cold: 4 obs, 1 mod -> rate 2/6; interval 8*2=16
+        assert abs(cold.change_rate - 2 / 6) < 1e-12
+        assert cold.recrawl_interval == 16 and cold.next_cycle == 20
+        # warm: 2 obs, 2 mods -> rate 3/4; interval 8/3=2.67 -> 3
+        assert warm.recrawl_interval == 3 and warm.next_cycle == 7
+        # deleted key: only its non-deleted observation survives
+        assert gone.n_obs == 1
+        # priority mirrors change_rate and orders hot > warm > cold
+        assert hot.priority > warm.priority > cold.priority
+
+    def test_interval_clamps(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        h = self._history(spark)
+        out = {r.key: r for r in
+               inc.change_rate_priority(h, base_interval=8,
+                                        min_interval=4,
+                                        max_interval=10).collect()}
+        assert out["hot.txt"].recrawl_interval == 4      # floor
+        assert out["cold.txt"].recrawl_interval == 10    # ceiling
+
+    def test_due_filter(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        sched = inc.change_rate_priority(self._history(spark),
+                                         base_interval=8)
+        due6 = {r.key for r in inc.due_for_recrawl(sched, 6).collect()}
+        assert due6 == {"hot.txt", "gone.txt"}  # next 6 and 5
+        due7 = {r.key for r in inc.due_for_recrawl(sched, 7).collect()}
+        assert "warm.txt" in due7 and "cold.txt" not in due7
+
+    def test_single_shuffle_plan(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        sched = inc.change_rate_priority(self._history(spark))
+        plan = sched._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_count" in plan.lower() or "partial" in plan.lower()
