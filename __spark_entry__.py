@@ -885,6 +885,17 @@ def q_prefetch_dedup(spark, sf_dir):
     return dedup.prefetch_dedup(cand, known)
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Corpus-curation funnel (plans/curate.py): score (lang-ID, token
+    count, stopword density, md5 fingerprint) → filter (en, ≥20 tokens,
+    stopword density ≥ 1/50 as an exact integer cross-multiplication) →
+    exact dedup (min-doc_id survivor + dup_count). The training-data
+    stage the reference's indexer handoff stops short of. One shuffle —
+    on the fingerprint of the kept fraction only."""
+    from fess_ds_s3_spark.plans.curate import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -943,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listing_diff": q_listing_diff,
         "recrawl_schedule": q_recrawl_schedule,
         "prefetch_dedup": q_prefetch_dedup,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -1595,4 +1607,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN url = batch_src THEN NULL
                         ELSE batch_src END AS src_url
             FROM w""",
+        "corpus_curate": """
+            WITH raw AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:the|and|of|to|is)\\b')) AS s_en,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:der|die|und|nicht|das)\\b')) AS s_de,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:el|los|las|una|que)\\b')) AS s_es,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS ws_tokens,
+                len(regexp_extract_all(lower(text),
+             '\\b(?:the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b'
+                    )) AS stop_hits
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, ws_tokens, stop_hits,
+                     CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'en'
+                          WHEN s_de = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'de'
+                          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'fr'
+                          ELSE 'es' END AS lang_guess,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE round(stop_hits * 1.0 / ws_tokens, 4)
+                     END AS stopword_ratio,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                         'g')) AS fp
+              FROM raw
+            ),
+            kept AS (
+              SELECT * FROM m
+              WHERE lang_guess IN ('en') AND ws_tokens >= 20
+                AND stop_hits * 50 >= ws_tokens * 1
+            )
+            SELECT fp,
+                   min(doc_id) AS doc_id,
+                   arg_min(lang_guess, doc_id) AS lang_guess,
+                   arg_min(ws_tokens, doc_id) AS ws_tokens,
+                   arg_min(stopword_ratio, doc_id) AS stopword_ratio,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM kept GROUP BY fp""",
     }

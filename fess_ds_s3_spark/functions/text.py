@@ -64,14 +64,23 @@ def punct_ratio(text: Column | str) -> Column:
         F.round(punct.cast("double") / total, 4))
 
 
+def stopword_hits(text: Column | str,
+                  stopwords: list[str] | None = None) -> Column:
+    """Count of stopword tokens — an exact integer, so thresholding can
+    use cross-multiplied integer compares (``hits * den >= tokens * num``)
+    instead of float boundaries that differ across engines by an ulp."""
+    words = stopwords or EN_STOPWORDS
+    t = F.lower(_col(text))
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    return _count_matches(t, pattern)
+
+
 def stopword_ratio(text: Column | str,
                    stopwords: list[str] | None = None) -> Column:
     """stopword tokens / whitespace tokens, 4 dp."""
-    words = stopwords or EN_STOPWORDS
     t = F.lower(_col(text))
     tokens = token_count_ws(t)
-    pattern = r"\b(?:" + "|".join(words) + r")\b"
-    hits = _count_matches(t, pattern)
+    hits = stopword_hits(text, stopwords)
     return F.when(tokens == 0, F.lit(0.0)).otherwise(
         F.round(hits.cast("double") / tokens, 4))
 

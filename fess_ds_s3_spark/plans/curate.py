@@ -1,0 +1,73 @@
+"""Corpus curation: the filter→dedup funnel a training-data pipeline runs
+over crawled text before it becomes model input.
+
+The reference stops at "extract content and hand it to the indexer"
+(AmazonS3DataStore.java:258-276); a 100 TB crawl feeding an LLM corpus
+needs the next stage — score every document, drop the junk, and keep one
+survivor per exact-duplicate cluster. This module composes the engine's
+text metrics (functions/text.py) and exact dedup (operators/dedup.py)
+into that funnel as ONE declarative plan:
+
+1. **Score** — language-ID, whitespace token count, stopword hits/ratio,
+   md5 fingerprint. Pure JVM column math, no shuffle, no UDF.
+2. **Filter** — language allowlist, minimum token count, minimum
+   stopword density. The density threshold is an exact integer
+   cross-multiplication (``hits * den >= tokens * num``), never a float
+   boundary — an ulp of divergence between engines cannot flip a row.
+   Filters run BEFORE the dedup shuffle, so the only wide stage sees the
+   kept fraction, not the corpus.
+3. **Dedup** — groupBy on the 32-hex fingerprint, min(struct) survivor
+   (deterministic: doc_id leads the struct), dup_count retained for
+   lineage. Map-side partial aggregation applies; the shuffle key is the
+   16-byte hash, never the text.
+
+Scale shape at 100 TB: one shuffle total, on the fingerprint of the
+filtered subset; every scored column prunes to (id, text) at the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.functions import text as T
+
+
+def curate_corpus(docs: DataFrame, *,
+                  langs: Sequence[str] = ("en",),
+                  min_tokens: int = 20,
+                  min_stopword: tuple[int, int] = (1, 50),
+                  text: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Score → filter → exact-dedup a document set into a curated corpus.
+
+    Returns one row per surviving document: ``fp``, ``id_col``,
+    ``lang_guess``, ``ws_tokens``, ``stopword_ratio``, ``dup_count``
+    (how many kept documents shared the fingerprint — the survivor
+    represents them all).
+
+    ``min_stopword`` is a ``(num, den)`` rational: keep documents with
+    ``stopword_hits / ws_tokens >= num / den``, evaluated exactly over
+    integers. ``(0, 1)`` disables the density floor.
+    """
+    num, den = min_stopword
+    scored = docs.select(
+        F.col(id_col),
+        T.lang_id(text).alias("lang_guess"),
+        T.token_count_ws(text).alias("ws_tokens"),
+        T.stopword_hits(text).alias("_stop_hits"),
+        T.stopword_ratio(text).alias("stopword_ratio"),
+        T.fingerprint_md5(text).alias("fp"))
+    kept = scored.filter(
+        F.col("lang_guess").isin(*langs)
+        & (F.col("ws_tokens") >= F.lit(min_tokens))
+        & (F.col("_stop_hits") * F.lit(den)
+           >= F.col("ws_tokens") * F.lit(num)))
+    winner = F.min(F.struct(id_col, "lang_guess", "ws_tokens",
+                            "stopword_ratio")).alias("_w")
+    return (kept.groupBy("fp")
+            .agg(winner, F.count(F.lit(1)).alias("dup_count"))
+            .select("fp", f"_w.{id_col}", "_w.lang_guess", "_w.ws_tokens",
+                    "_w.stopword_ratio", "dup_count"))

@@ -1,0 +1,58 @@
+"""Corpus-curation funnel (plans/curate.py): score → filter → dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.plans.curate import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    en = ("the cat and the dog ran to the house of the old man and it "
+          "was good for all of them to rest in the shade is what we say")
+    rows = [
+        (0, en),                              # kept
+        (1, en),                              # exact dup of 0 → folded
+        (2, "  " + en + "  "),                # whitespace-variant dup
+        (3, "der hund und die katze nicht das haus " * 4),   # german
+        (4, "short the text"),                # < 20 tokens
+        (5, " ".join(f"w{i}" for i in range(40))),  # no stopwords → und
+        # en words but stopword-poor: 1 hit in 60 tokens < 1/50
+        (6, "the " + " ".join(f"zz{i}" for i in range(59))),
+        (7, en + " extra tail words here"),   # kept, distinct fp
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestCurateCorpus:
+    def test_funnel_semantics(self, spark, corpus):
+        out = {r.doc_id: r for r in curate_corpus(corpus).collect()}
+        assert set(out) == {0, 7}
+        assert out[0].dup_count == 3          # docs 0,1,2 share the fp
+        assert out[7].dup_count == 1
+        assert out[0].lang_guess == "en"
+        assert out[0].ws_tokens >= 20
+
+    def test_stopword_floor_is_exact(self, spark, corpus):
+        # doc 6: 1 hit / 60 tokens — below 1/50 → dropped; at (1, 60)
+        # threshold it is kept: the integer compare has no float boundary
+        kept = curate_corpus(corpus, min_stopword=(1, 60))
+        assert 6 in {r.doc_id for r in kept.collect()}
+
+    def test_lang_and_token_knobs(self, spark, corpus):
+        all_langs = curate_corpus(corpus, langs=("en", "de", "und"),
+                                  min_tokens=1, min_stopword=(0, 1))
+        ids = {r.doc_id for r in all_langs.collect()}
+        assert {3, 4, 5}.issubset(ids)
+
+    def test_single_shuffle_plan(self, spark, corpus):
+        plan = (curate_corpus(corpus)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+
+    def test_deterministic_survivor(self, spark, corpus):
+        a = curate_corpus(corpus).collect()
+        b = curate_corpus(corpus.repartition(7)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
