@@ -160,17 +160,73 @@ def change_rate_priority(history: DataFrame, *,
            .agg(F.count(F.lit(1)).alias("n_obs"),
                 F.sum(is_mod).alias("n_mod"),
                 F.max("cycle").alias("last_cycle")))
+    return _schedule_derived(agg, keys, base_interval, min_interval,
+                             max_interval)
+
+
+def _schedule_derived(agg: DataFrame, key_cols: Sequence[str],
+                      base_interval: int, min_interval: int,
+                      max_interval: int) -> DataFrame:
+    """Rate/interval/next_cycle/priority columns from (n_obs, n_mod,
+    last_cycle) — shared by the batch aggregate and the incremental
+    fold so both derive byte-identical schedules."""
     rate = (F.col("n_mod") + F.lit(1.0)) / (F.col("n_obs") + F.lit(2.0))
     interval = F.round(F.lit(float(base_interval))
                        * (F.lit(1.0) - rate) / rate).cast("long")
     interval = F.least(F.lit(max_interval),
                        F.greatest(F.lit(min_interval), interval))
     return agg.select(
-        *keys, "n_obs", "n_mod", "last_cycle",
+        *key_cols, "n_obs", "n_mod", "last_cycle",
         rate.alias("change_rate"),
         interval.alias("recrawl_interval"),
         (F.col("last_cycle") + interval).alias("next_cycle"),
         rate.alias("priority"))
+
+
+def update_schedule(schedule: DataFrame | None, diff: DataFrame,
+                    cycle: int, *,
+                    key_cols: Sequence[str] = DEFAULT_KEY_COLS,
+                    base_interval: int = 8,
+                    min_interval: int = 1,
+                    max_interval: int = 64) -> DataFrame:
+    """Fold ONE cycle's :func:`listing_diff` into the running schedule —
+    the incremental twin of :func:`change_rate_priority`, for crawls that
+    cannot afford to retain raw (key, cycle, change) history: the state
+    is the aggregate itself ((n_obs, n_mod, last_cycle) per key), so each
+    cycle is one equi join of schedule × diff instead of a re-aggregation
+    over an ever-growing log. Folding cycles 1..k reproduces the batch
+    aggregate over the concatenated history exactly (test-pinned).
+
+    ``schedule`` is the previous cycle's output (None for the first
+    cycle). Deleted keys leave the schedule; new keys enter with their
+    first observation. Keys absent from the diff (not listed this cycle)
+    carry their state unchanged.
+    """
+    keys = list(key_cols)
+    is_mod = F.col("change").isin("modified", "added").cast("long")
+    d = (diff.filter(F.col("change") != "deleted")
+         .select(*keys, is_mod.alias("_mod"), F.lit(True).alias("_obs")))
+    if schedule is None:
+        agg = d.select(*keys, F.lit(1).cast("long").alias("n_obs"),
+                       F.col("_mod").alias("n_mod"),
+                       F.lit(cycle).cast("int").alias("last_cycle"))
+        return _schedule_derived(agg, keys, base_interval, min_interval,
+                                 max_interval)
+    deleted = diff.filter(F.col("change") == "deleted").select(*keys)
+    prev = (schedule.join(deleted, on=keys, how="left_anti")
+            .select(*keys, "n_obs", "n_mod", "last_cycle"))
+    j = prev.join(d, on=keys, how="full_outer")
+    obs = F.col("_obs").isNotNull()
+    agg = j.select(
+        *keys,
+        (F.coalesce(F.col("n_obs"), F.lit(0))
+         + obs.cast("long")).alias("n_obs"),
+        (F.coalesce(F.col("n_mod"), F.lit(0))
+         + F.coalesce(F.col("_mod"), F.lit(0))).alias("n_mod"),
+        F.when(obs, F.lit(cycle).cast("int"))
+         .otherwise(F.col("last_cycle")).alias("last_cycle"))
+    return _schedule_derived(agg, keys, base_interval, min_interval,
+                             max_interval)
 
 
 def due_for_recrawl(schedule: DataFrame, cycle: int) -> DataFrame:

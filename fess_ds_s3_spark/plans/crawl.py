@@ -157,6 +157,8 @@ class CrawlDriver:
         self.listing = self.catalog.table("listing")
         self.tombstones = self.catalog.table("tombstones")
         self.cycles = self.catalog.table("cycles")
+        # adaptive re-crawl schedule (change-rate fold, priority source)
+        self.schedule = self.catalog.table("schedule")
 
     # ----- state ------------------------------------------------------------
 
@@ -546,6 +548,7 @@ class CrawlDriver:
 
     def begin_incremental_cycle(self, listing_df: DataFrame, *,
                                 version_cols=("etag", "size"),
+                                adaptive_priority: bool = False,
                                 ) -> CycleSummary:
         """Start a re-crawl cycle from a fresh listing snapshot: diff it
         against the stored previous listing (operators/incremental.py),
@@ -584,16 +587,46 @@ class CrawlDriver:
                                     version_cols=version_cols)
             cand = inc.recrawl_candidates(diff, version_cols=version_cols)
             tombs = inc.deletion_tombstones(diff)
+            diff_all = diff.select("bucket", "key", "change")
         else:
             cand = listing_df.withColumn("change", F.lit("added"))
             tombs = listing_df.select("bucket", "key").limit(0)
+            diff_all = listing_df.select(
+                "bucket", "key", F.lit("added").alias("change"))
+
+        priority = F.lit(0).cast("int")
+        if adaptive_priority:
+            # Fold this cycle's diff into the running change-rate schedule
+            # (operators/incremental.update_schedule: state IS the
+            # aggregate — one join per cycle, no raw history). Idempotence
+            # guard: a crashed re-run whose fold already committed must
+            # not double-count this cycle's observations — the schedule
+            # snapshot's own metadata records the folded cycle.
+            folded = self.schedule.metadata().get("cycle")
+            if not (self.schedule.exists() and folded == cycle_id):
+                prev_sched = (self.schedule.read()
+                              if self.schedule.exists() else None)
+                self.schedule.overwrite(
+                    inc.update_schedule(prev_sched, diff_all, cycle_id),
+                    {"cycle": cycle_id})
+            sched = self.schedule.read()
+            # hot objects (high change_rate) get LOW priority ints — they
+            # lead the per-host (priority, discovery-time) admission order
+            prio_int = F.least(
+                F.lit(9), F.greatest(F.lit(0), F.floor(
+                    (F.lit(1.0) - F.col("change_rate")) * 10)),
+            ).cast("int")
+            cand = cand.join(
+                sched.select("bucket", "key", prio_int.alias("_prio")),
+                on=["bucket", "key"], how="left")
+            priority = F.coalesce(F.col("_prio"), F.lit(0)).cast("int")
 
         size_col = (F.col("size") if "size" in cand.columns
                     else F.lit(0))  # size absent iff not in version_cols
         cand_rows = round_plan.prepare_frontier(
             cand.select(
                 "bucket", "key", size_col.cast("long").alias("size"),
-                F.lit(0).cast("int").alias("priority"),
+                priority.alias("priority"),
                 # deterministic discovery order: cycle sequence, not clock
                 F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
             ), self.cfg, encode_urls=self.encode_urls,

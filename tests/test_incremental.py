@@ -392,3 +392,100 @@ class TestChangeRatePriority:
         plan = sched._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
         assert "partial_count" in plan.lower() or "partial" in plan.lower()
+
+
+class TestUpdateSchedule:
+    def test_fold_matches_batch_aggregate(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        hist = TestChangeRatePriority()._history(spark)
+        sched = None
+        for c in (1, 2, 3, 4):
+            diff = (hist.filter(F.col("cycle") == c)
+                    .select("bucket", "key", "change"))
+            sched = inc.update_schedule(sched, diff, c, base_interval=8)
+        got = {r.key: r for r in sched.collect()}
+        want = {r.key: r for r in
+                inc.change_rate_priority(hist, base_interval=8).collect()}
+        # deleted keys LEAVE the folded schedule (live view) but remain
+        # summarized in the batch aggregate (history view)
+        assert "gone.txt" not in got and "gone.txt" in want
+        for k in ("hot.txt", "cold.txt", "warm.txt"):
+            assert tuple(got[k]) == tuple(want[k]), k
+
+    def test_unlisted_keys_carry_state(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        d1 = spark.createDataFrame(
+            [("b", "x", "added"), ("b", "y", "added")],
+            "bucket string, key string, change string")
+        s1 = inc.update_schedule(None, d1, 1)
+        # cycle 2 lists only x
+        d2 = spark.createDataFrame([("b", "x", "unchanged")],
+                                   "bucket string, key string, change string")
+        s2 = {r.key: r for r in inc.update_schedule(s1, d2, 2).collect()}
+        assert s2["x"].n_obs == 2 and s2["x"].last_cycle == 2
+        assert s2["y"].n_obs == 1 and s2["y"].last_cycle == 1
+
+    def test_single_join_per_fold(self, spark):
+        import fess_ds_s3_spark.operators.incremental as inc
+        d1 = spark.createDataFrame([("b", "x", "added")],
+                                   "bucket string, key string, change string")
+        s1 = inc.update_schedule(None, d1, 1)
+        s2 = inc.update_schedule(s1, d1, 2)
+        plan = s2._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") + plan.count("HashJoin") <= 2
+
+
+class TestAdaptivePriorityCycles:
+    def test_schedule_drives_candidate_priority(self, spark, tmp_path):
+        import os
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        helper = TestIncrementalCycles()
+        root = helper._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root)
+
+        listing = helper._listing(spark, root, cfg)
+        c1 = driver.begin_incremental_cycle(listing,
+                                            adaptive_priority=True)
+        assert c1.candidates == 5
+        # schedule folded and committed with this cycle's id
+        assert driver.schedule.exists()
+        assert driver.schedule.metadata()["cycle"] == 1
+        sched = {r.key: r for r in driver.schedule.read().collect()}
+        assert all(r.n_obs == 1 and r.n_mod == 1
+                   for r in sched.values())
+        # first sighting: rate 2/3 → priority int floor((1/3)*10) = 3
+        f1 = driver.frontier.read().filter(F.col("round") == 0)
+        assert {r.priority for r in f1.select("priority").collect()} == {3}
+        driver.run(5)
+
+        # cycle 2: modify a (2 obs 2 mods → rate 3/4 → prio 2), add f
+        # (1 obs 1 mod → prio 3); c,d,e unchanged (2 obs 1 mod → rate
+        # 1/2 → interval 8 — not candidates, but scheduled)
+        with open(f"{root}/b/docs/a.txt", "w") as f:
+            f.write("ALPHA-CHANGED")
+        with open(f"{root}/b/docs/f.txt", "w") as f:
+            f.write("foxtrot")
+        c2 = driver.begin_incremental_cycle(
+            helper._listing(spark, root, cfg), adaptive_priority=True)
+        assert c2.candidates == 2
+        sched = {r.key: r for r in driver.schedule.read().collect()}
+        assert sched["docs/a.txt"].n_obs == 2
+        assert sched["docs/a.txt"].n_mod == 2
+        assert sched["docs/c.txt"].n_obs == 2
+        assert sched["docs/c.txt"].n_mod == 1
+        f2 = driver.frontier.read().filter(
+            F.col("round") == c2.start_round)
+        prios = {r.key: r.priority for r in
+                 f2.select("key", "priority").collect()}
+        assert prios == {"docs/a.txt": 2, "docs/f.txt": 3}
+        driver.run(5)
+
+        # resume: a fresh driver sees the same schedule state
+        d2 = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                         object_store_root=root)
+        assert d2.schedule.metadata()["cycle"] == 2
+        assert d2.schedule.read().count() == 6
