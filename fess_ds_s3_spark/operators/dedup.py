@@ -78,7 +78,15 @@ def prefetch_dedup(candidates: DataFrame, known: DataFrame, *,
                  .groupBy(*keys)
                  .agg(F.min(url_col).alias("_known_src")))
     j = candidates.join(known_rep, on=keys, how="left")
-    w = Window.partitionBy(*keys)
+    # NULL-ETag rows always fetch and never read batch_src — but without
+    # the salt they'd all share ONE window partition per size (the
+    # identity-less majority of a 10^9-row batch landing on a single
+    # task). Salting them by their own URL makes each a singleton
+    # partition; non-null groups get a constant salt, so their
+    # min-URL representative is unchanged.
+    null_salt = (F.when(F.col(etag_col).isNull(), F.col(url_col))
+                 .otherwise(F.lit("")))
+    w = Window.partitionBy(*keys, null_salt)
     batch_src = F.min(url_col).over(w)
     action = (F.when(F.col("_known_src").isNotNull(), F.lit("copy_known"))
               .when(F.col(etag_col).isNull(), F.lit("fetch"))
