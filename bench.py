@@ -78,7 +78,8 @@ HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
 BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
-            "dedup_exact", "token_count", "cosine_topk", "minhash_lsh"]
+            "dedup_exact", "token_count", "cosine_topk", "minhash_lsh",
+            "corpus_curate"]
 
 
 def _session(cores: int, *, aqe: bool = True,
