@@ -489,3 +489,53 @@ class TestAdaptivePriorityCycles:
                          object_store_root=root)
         assert d2.schedule.metadata()["cycle"] == 2
         assert d2.schedule.read().count() == 6
+
+
+class TestUpdateScheduleProperties:
+    def test_hypothesis_fold_matches_batch(self, spark):
+        """Folding per-cycle diffs ≡ batch aggregate over the whole
+        history, for any history where a key is observed in a contiguous
+        run of cycles and 'deleted' only ever terminates it (the shape
+        listing_diff actually produces)."""
+        from hypothesis import given, settings, strategies as st
+        import fess_ds_s3_spark.operators.incremental as inc
+
+        # per key: (first_cycle, lifetime, mod pattern seed)
+        key_specs = st.dictionaries(
+            st.integers(0, 12).map(lambda i: f"k{i}"),
+            st.tuples(st.integers(1, 4), st.integers(1, 4),
+                      st.integers(0, 7)),
+            min_size=1, max_size=8)
+
+        @settings(max_examples=10, deadline=None)
+        @given(specs=key_specs)
+        def check(specs):
+            rows = []
+            for key, (first, life, seed) in specs.items():
+                last = min(4, first + life - 1)
+                for c in range(first, last + 1):
+                    if c == first:
+                        change = "added"
+                    elif c == last and life <= 3 and seed % 2:
+                        change = "deleted"
+                    elif (seed + c) % 3 == 0:
+                        change = "modified"
+                    else:
+                        change = "unchanged"
+                    rows.append(("b", key, c, change))
+            hist = spark.createDataFrame(
+                rows, "bucket string, key string, cycle int, change string")
+            sched = None
+            for c in (1, 2, 3, 4):
+                d = (hist.filter(F.col("cycle") == c)
+                     .select("bucket", "key", "change"))
+                sched = inc.update_schedule(sched, d, c)
+            got = {r.key: tuple(r) for r in sched.collect()}
+            deleted = {r.key for r in hist
+                       .filter(F.col("change") == "deleted").collect()}
+            want = {r.key: tuple(r)
+                    for r in inc.change_rate_priority(hist).collect()
+                    if r.key not in deleted}
+            assert got == want
+
+        check()
