@@ -539,3 +539,35 @@ class TestUpdateScheduleProperties:
             assert got == want
 
         check()
+
+
+class TestBucketedScheduleFold:
+    def test_fold_over_bucketed_tables_is_exchange_free(self, spark,
+                                                        tmp_path):
+        import fess_ds_s3_spark.operators.incremental as inc
+        sched = spark.createDataFrame(
+            [("b", f"k{i}", 2, 1, 2) for i in range(100)],
+            "bucket string, key string, n_obs long, n_mod long, "
+            "last_cycle int")
+        diff = spark.createDataFrame(
+            [("b", f"k{i}",
+              "deleted" if i % 10 == 0 else
+              "modified" if i % 3 == 0 else "unchanged")
+             for i in range(100)],
+            "bucket string, key string, change string")
+        for name, df in [("t_sched_prev", sched), ("t_cycle_diff", diff)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            inc.ingest_listing(df, table=name,
+                               path=str(tmp_path / name), n_buckets=4)
+        out = inc.update_schedule(spark.table("t_sched_prev"),
+                                  spark.table("t_cycle_diff"), 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # shuffle-free: both joins consume the storage partitioning; the
+        # only Exchange is the BROADCAST of the tiny deleted set (good —
+        # AQE sizes it), never a hashpartitioning shuffle
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = {r.key: tuple(r) for r in out.collect()}
+        want = {r.key: tuple(r)
+                for r in inc.update_schedule(sched, diff, 3).collect()}
+        assert got == want
