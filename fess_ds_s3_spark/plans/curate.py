@@ -39,6 +39,7 @@ def curate_corpus(docs: DataFrame, *,
                   langs: Sequence[str] = ("en",),
                   min_tokens: int = 20,
                   min_stopword: tuple[int, int] = (1, 50),
+                  near_dup_threshold: float | None = None,
                   text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Score → filter → exact-dedup a document set into a curated corpus.
@@ -51,6 +52,16 @@ def curate_corpus(docs: DataFrame, *,
     ``min_stopword`` is a ``(num, den)`` rational: keep documents with
     ``stopword_hits / ws_tokens >= num / den``, evaluated exactly over
     integers. ``(0, 1)`` disables the density floor.
+
+    ``near_dup_threshold`` adds the funnel's tier-2 stage: MinHash-LSH
+    near-dup pairs (operators/dedup.dedup_minhash_lsh, exact-Jaccard
+    verified at the threshold) over the EXACT-dedup survivors — the
+    cheapest ordering, since exact dedup has already collapsed identical
+    texts — then a deterministic greedy keep: a document is dropped iff
+    some pair partner has a smaller id (pairs come a < b, so the drop
+    set is the distinct ``b`` side; every cluster keeps at least its
+    minimum). Extra cost: the signature/band shuffles run on the
+    survivor set only.
     """
     num, den = min_stopword
     scored = docs.select(
@@ -67,7 +78,18 @@ def curate_corpus(docs: DataFrame, *,
            >= F.col("ws_tokens") * F.lit(num)))
     winner = F.min(F.struct(id_col, "lang_guess", "ws_tokens",
                             "stopword_ratio")).alias("_w")
-    return (kept.groupBy("fp")
-            .agg(winner, F.count(F.lit(1)).alias("dup_count"))
-            .select("fp", f"_w.{id_col}", "_w.lang_guess", "_w.ws_tokens",
-                    "_w.stopword_ratio", "dup_count"))
+    survivors = (kept.groupBy("fp")
+                 .agg(winner, F.count(F.lit(1)).alias("dup_count"))
+                 .select("fp", f"_w.{id_col}", "_w.lang_guess",
+                         "_w.ws_tokens", "_w.stopword_ratio", "dup_count"))
+    if near_dup_threshold is None:
+        return survivors
+    from fess_ds_s3_spark.operators.dedup import dedup_minhash_lsh
+    survivor_docs = survivors.select(id_col).join(
+        docs.select(id_col, text), on=id_col, how="inner")
+    pairs = dedup_minhash_lsh(survivor_docs, text, id_col,
+                              threshold=near_dup_threshold)
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return (survivors.join(drop, on=id_col, how="left_anti")
+            .select("fp", id_col, "lang_guess", "ws_tokens",
+                    "stopword_ratio", "dup_count"))

@@ -56,3 +56,18 @@ class TestCurateCorpus:
         a = curate_corpus(corpus).collect()
         b = curate_corpus(corpus.repartition(7)).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_near_dup_tier(self, spark, corpus):
+        # doc 7 = doc 0's text + 4 extra words: shingle-Jaccard high but
+        # not 1.0 — survives exact dedup, dies at a permissive threshold
+        base = curate_corpus(corpus)
+        near = curate_corpus(corpus, near_dup_threshold=0.5)
+        base_ids = {r.doc_id for r in base.collect()}
+        near_ids = {r.doc_id for r in near.collect()}
+        assert base_ids == {0, 7}
+        assert near_ids == {0}
+        # a strict threshold keeps both
+        strict = curate_corpus(corpus, near_dup_threshold=0.99)
+        assert {r.doc_id for r in strict.collect()} == {0, 7}
+        # schema identical across tiers
+        assert near.columns == base.columns
