@@ -100,6 +100,7 @@ def continuous_incremental_crawl(
         version_cols=("etag", "size"),
         max_rounds_per_cycle: int = 100,
         host_budgets: DataFrame | None = None,
+        adaptive_priority: bool = False,
         on_cycle: Callable[[object], None] | None = None,
         ) -> StreamingQuery:
     """Continuous CDC-style crawl: each manifest row triggers one
@@ -120,7 +121,8 @@ def continuous_incremental_crawl(
         for row in batch_df.select("listing_path").toLocalIterator():
             listing = spark.read.parquet(row.listing_path)
             summary = driver.begin_incremental_cycle(
-                listing, version_cols=version_cols)
+                listing, version_cols=version_cols,
+                adaptive_priority=adaptive_priority)
             driver.run(max_rounds_per_cycle, host_budgets=host_budgets)
             if on_cycle is not None:
                 on_cycle(summary)

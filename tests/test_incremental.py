@@ -491,6 +491,40 @@ class TestAdaptivePriorityCycles:
         assert d2.schedule.read().count() == 6
 
 
+    def test_fold_idempotence_guard(self, spark, tmp_path):
+        """A crash between the schedule overwrite and the cycle commit
+        re-runs begin_incremental_cycle with the SAME cycle id; the
+        already-folded schedule (metadata cycle == cycle_id) must be
+        reused, not re-folded (which would double-count n_obs)."""
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        helper = TestIncrementalCycles()
+        root = helper._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root)
+        listing = helper._listing(spark, root, cfg)
+        driver.begin_incremental_cycle(listing, adaptive_priority=True)
+        driver.run(5)
+        # simulate the crashed attempt: fold cycle 2's diff manually
+        # (metadata stamps cycle=2), as if the overwrite landed but the
+        # cycles-table commit did not
+        from fess_ds_s3_spark.operators import incremental as inc
+        diff_all = inc.listing_diff(
+            listing, driver.listing.read(),
+            version_cols=("etag", "size")).select("bucket", "key",
+                                                  "change")
+        folded = inc.update_schedule(driver.schedule.read(), diff_all, 2)
+        driver.schedule.overwrite(folded, {"cycle": 2})
+        before = {r.key: r.n_obs for r in driver.schedule.read().collect()}
+        # the re-run (same cycle id 2) must skip the fold
+        driver.begin_incremental_cycle(listing, adaptive_priority=True)
+        after = {r.key: r.n_obs for r in driver.schedule.read().collect()}
+        assert after == before  # not double-counted
+        assert max(after.values()) == 2
+
+
 class TestUpdateScheduleProperties:
     def test_hypothesis_fold_matches_batch(self, spark):
         """Folding per-cycle diffs ≡ batch aggregate over the whole
