@@ -254,33 +254,49 @@ def dedup_minhash_lsh(df: DataFrame, text: str = "text",
                       id_col: str = "doc_id", *, num_hashes: int = 128,
                       bands: int = 16, shingle_n: int = 5,
                       threshold: float = 0.8, seed: int = 42,
+                      verify_scope: str = "candidates",
                       checkpoint_pairs: bool = False) -> DataFrame:
     """Full near-dup pipeline → verified duplicate pairs (a < b).
 
-    The verify stage only shingles CANDIDATE docs: a semi-join on the
-    pair ids keeps the exact-Jaccard explode O(candidates), not
-    O(corpus) — at web scale the candidate set is a sliver of the corpus
-    and the all-docs explode was the verify stage's dominant cost
-    (measured 24% whole-pipeline win at sf0.1 even though the candidate
-    subtree is evaluated twice, once for ids, once for verify).
+    ``verify_scope`` picks which docs the exact-Jaccard verify shingles:
+
+    - ``"candidates"`` (default — the web-scale shape): semi-join the
+      corpus to the pair ids first, keeping the verify explode
+      O(candidates) instead of O(corpus). On a real crawl corpus the
+      candidate set is a sliver of the corpus and the all-docs explode
+      dominates the verify stage (measured 24% whole-pipeline win at
+      sf0.1, even though the candidate subtree is evaluated twice — once
+      for ids, once for verify).
+    - ``"all"``: shingle the whole corpus, no semi-join. FASTER when most
+      docs are candidates (e.g. planted-clone fixtures where every doc
+      has a near-dup): the semi-join then prunes nothing and its extra
+      subtree evaluation is pure overhead (2.6 s vs 5.3 s on the
+      100%-dense sf0.1 fixture).
+
+    Output is identical either way (the verify joins restrict to pair
+    members regardless).
 
     ``checkpoint_pairs=True`` lazily ``localCheckpoint``s the pair set so
-    that subtree runs once (a further ~25% at sf0.1). Off by default:
+    its subtree runs once (~25% further at sf0.1). Off by default:
     localCheckpoint stores blocks on executors WITHOUT lineage, so an
     executor loss fails the job instead of recomputing — fine for
     single-node/bench runs, wrong default for a 1000-executor crawl
     (there, materialize the pairs to a table between stages instead).
     """
+    if verify_scope not in ("candidates", "all"):
+        raise ValueError("verify_scope must be 'candidates' or 'all'")
     sigs = minhash_signatures(df, text, id_col, num_hashes=num_hashes,
                               shingle_n=shingle_n, seed=seed)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
     if checkpoint_pairs:
         pairs = pairs.localCheckpoint(eager=False)
-    cand_ids = (pairs.select(F.col("a").alias(id_col))
-                .union(pairs.select(F.col("b").alias(id_col)))
-                .distinct())
-    cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
-    sh = explode_shingle_hashes(cand_docs, text, id_col, n=shingle_n)
+    verify_docs = df
+    if verify_scope == "candidates":
+        cand_ids = (pairs.select(F.col("a").alias(id_col))
+                    .union(pairs.select(F.col("b").alias(id_col)))
+                    .distinct())
+        verify_docs = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = explode_shingle_hashes(verify_docs, text, id_col, n=shingle_n)
     return jaccard_verify(pairs, sh, id_col, threshold=threshold)
 
 
