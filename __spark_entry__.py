@@ -901,6 +901,21 @@ def q_corpus_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_curate_sample_cap(spark, sf_dir):
+    """Curation funnel v2 (plans/curate.py round-4 stages): deterministic
+    3/4 hash subsample of the raw corpus (content-keyed md5, threshold
+    'c0000000' — functions/sampling.py, bit-identical in any engine) →
+    score/filter/exact-dedup → per-source cap of 5 surviving docs
+    (longest-first, doc_id tiebreak) through the salted two-pass window
+    (operators/caps.py). Every stage is exact SQL — the sample predicate,
+    the integer stopword floor, and the cap's ROW_NUMBER all reproduce
+    verbatim in the DuckDB oracle."""
+    from fess_ds_s3_spark.plans.curate import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir), sample=(3, 4),
+                         sample_seed="r4", max_per_source=5,
+                         cap_salt_buckets=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -960,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "prefetch_dedup": q_prefetch_dedup,
         "corpus_curate": q_corpus_curate,
+        "curate_sample_cap": q_curate_sample_cap,
     }
 
 
@@ -1660,4 +1676,66 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(stopword_ratio, doc_id) AS stopword_ratio,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM kept GROUP BY fp""",
+        "curate_sample_cap": """
+            WITH raw AS (
+              SELECT doc_id, text, source,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:the|and|of|to|is)\\b')) AS s_en,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:der|die|und|nicht|das)\\b')) AS s_de,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:el|los|las|una|que)\\b')) AS s_es,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS ws_tokens,
+                len(regexp_extract_all(lower(text),
+             '\\b(?:the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b'
+                    )) AS stop_hits
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 8)
+                    < 'c0000000'
+            ),
+            m AS (
+              SELECT doc_id, source, ws_tokens, stop_hits,
+                     CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'en'
+                          WHEN s_de = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'de'
+                          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'fr'
+                          ELSE 'es' END AS lang_guess,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE round(stop_hits * 1.0 / ws_tokens, 4)
+                     END AS stopword_ratio,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                         'g')) AS fp
+              FROM raw
+            ),
+            kept AS (
+              SELECT * FROM m
+              WHERE lang_guess IN ('en') AND ws_tokens >= 20
+                AND stop_hits * 50 >= ws_tokens * 1
+            ),
+            surv AS (
+              SELECT fp,
+                     min(doc_id) AS doc_id,
+                     arg_min(lang_guess, doc_id) AS lang_guess,
+                     arg_min(ws_tokens, doc_id) AS ws_tokens,
+                     arg_min(stopword_ratio, doc_id) AS stopword_ratio,
+                     CAST(count(*) AS BIGINT) AS dup_count,
+                     arg_min(source, doc_id) AS source
+              FROM kept GROUP BY fp
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY ws_tokens DESC, doc_id ASC) AS rk
+              FROM surv
+            )
+            SELECT fp, doc_id, lang_guess, ws_tokens, stopword_ratio,
+                   dup_count, source
+            FROM ranked WHERE rk <= 5""",
     }

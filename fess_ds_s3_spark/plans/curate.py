@@ -23,6 +23,18 @@ into that funnel as ONE declarative plan:
 
 Scale shape at 100 TB: one shuffle total, on the fingerprint of the
 filtered subset; every scored column prunes to (id, text) at the scan.
+
+Round 4 adds the two remaining standard curation stages:
+
+4. **Deterministic subsample** (``sample=``) — content-keyed hash
+   sampling (functions/sampling.py) applied to the RAW input, before any
+   scoring, so a 1/10 sample pays 1/10 of everything downstream. Stable
+   under repartitioning, reproducible across engines.
+5. **Per-source cap** (``max_per_source=``) — at most n surviving
+   documents per source/domain (operators/caps.py), ranked longest-first;
+   the anti-over-representation guard every crawl-curation recipe ends
+   with. Salted two-pass by default so the hottest domain never lands in
+   one window task.
 """
 
 from __future__ import annotations
@@ -33,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fess_ds_s3_spark.functions import text as T
+from fess_ds_s3_spark.functions.sampling import hash_sample
+from fess_ds_s3_spark.operators.caps import top_n_per_group
 
 
 def curate_corpus(docs: DataFrame, *,
@@ -40,6 +54,11 @@ def curate_corpus(docs: DataFrame, *,
                   min_tokens: int = 20,
                   min_stopword: tuple[int, int] = (1, 50),
                   near_dup_threshold: float | None = None,
+                  sample: tuple[int, int] | None = None,
+                  sample_seed: str = "",
+                  max_per_source: int | None = None,
+                  source_col: str = "source",
+                  cap_salt_buckets: int = 8,
                   text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Score → filter → exact-dedup a document set into a curated corpus.
@@ -62,34 +81,60 @@ def curate_corpus(docs: DataFrame, *,
     set is the distinct ``b`` side; every cluster keeps at least its
     minimum). Extra cost: the signature/band shuffles run on the
     survivor set only.
+
+    ``sample=(num, den)`` keeps a deterministic ``num/den`` subsample of
+    the input, keyed on ``md5(id_col || sample_seed)`` — applied FIRST so
+    the whole funnel runs on the sampled fraction. ``max_per_source``
+    caps the surviving documents per ``source_col`` value (longest docs
+    win, ``id_col`` breaks ties), applied LAST so the cap counts final
+    corpus rows; the output then carries ``source_col``. The cap window
+    is salted two-pass over ``cap_salt_buckets`` (0 → single window).
     """
     num, den = min_stopword
-    scored = docs.select(
+    if sample is not None:
+        docs = docs.filter(hash_sample(id_col, *sample, seed=sample_seed))
+    score_cols = [
         F.col(id_col),
         T.lang_id(text).alias("lang_guess"),
         T.token_count_ws(text).alias("ws_tokens"),
         T.stopword_hits(text).alias("_stop_hits"),
         T.stopword_ratio(text).alias("stopword_ratio"),
-        T.fingerprint_md5(text).alias("fp"))
+        T.fingerprint_md5(text).alias("fp")]
+    if max_per_source is not None:
+        score_cols.append(F.col(source_col))
+    scored = docs.select(*score_cols)
     kept = scored.filter(
         F.col("lang_guess").isin(*langs)
         & (F.col("ws_tokens") >= F.lit(min_tokens))
         & (F.col("_stop_hits") * F.lit(den)
            >= F.col("ws_tokens") * F.lit(num)))
-    winner = F.min(F.struct(id_col, "lang_guess", "ws_tokens",
-                            "stopword_ratio")).alias("_w")
+    # id_col leads the struct, so appending source never changes the min
+    winner_fields = [id_col, "lang_guess", "ws_tokens", "stopword_ratio"]
+    if max_per_source is not None:
+        winner_fields.append(source_col)
+    winner = F.min(F.struct(*winner_fields)).alias("_w")
+    out_cols = ["fp", id_col, "lang_guess", "ws_tokens",
+                "stopword_ratio", "dup_count"]
+    if max_per_source is not None:
+        out_cols.append(source_col)
     survivors = (kept.groupBy("fp")
                  .agg(winner, F.count(F.lit(1)).alias("dup_count"))
-                 .select("fp", f"_w.{id_col}", "_w.lang_guess",
-                         "_w.ws_tokens", "_w.stopword_ratio", "dup_count"))
-    if near_dup_threshold is None:
-        return survivors
-    from fess_ds_s3_spark.operators.dedup import dedup_minhash_lsh
-    survivor_docs = survivors.select(id_col).join(
-        docs.select(id_col, text), on=id_col, how="inner")
-    pairs = dedup_minhash_lsh(survivor_docs, text, id_col,
-                              threshold=near_dup_threshold)
-    drop = pairs.select(F.col("b").alias(id_col)).distinct()
-    return (survivors.join(drop, on=id_col, how="left_anti")
-            .select("fp", id_col, "lang_guess", "ws_tokens",
-                    "stopword_ratio", "dup_count"))
+                 .select("fp", *[f"_w.{f}" for f in winner_fields],
+                         "dup_count")
+                 .select(*out_cols))
+    if near_dup_threshold is not None:
+        from fess_ds_s3_spark.operators.dedup import dedup_minhash_lsh
+        survivor_docs = survivors.select(id_col).join(
+            docs.select(id_col, text), on=id_col, how="inner")
+        pairs = dedup_minhash_lsh(survivor_docs, text, id_col,
+                                  threshold=near_dup_threshold)
+        drop = pairs.select(F.col("b").alias(id_col)).distinct()
+        survivors = (survivors.join(drop, on=id_col, how="left_anti")
+                     .select(*out_cols))
+    if max_per_source is not None:
+        survivors = top_n_per_group(
+            survivors, [source_col], max_per_source,
+            [F.col("ws_tokens").desc(), F.col(id_col).asc()],
+            salt_buckets=cap_salt_buckets,
+            salt_key=F.xxhash64(F.col(id_col)))
+    return survivors
