@@ -916,6 +916,47 @@ def q_curate_sample_cap(spark, sf_dir):
                          cap_salt_buckets=4)
 
 
+def q_curate_interleaved(spark, sf_dir):
+    """Curation over the input_hint payload shape — interleaved
+    text+media span documents (plans/curate.curate_interleaved). Spans
+    are synthesized from ``documents`` exactly like ``spans_roundtrip``
+    (text halved into two text spans, array emitted OUT of offset order)
+    plus ``doc_id % 3`` media spans wedged between; the first media ref
+    is NULLed when ``doc_id % 7 == 0`` (a broken reference). The engine
+    computes every span stat from the real array (size/filter/exists —
+    no explode); the oracle re-derives them from the synthesis rule
+    (n_media = doc_id % 3) and runs the same text funnel on the raw
+    text, which the offset-ordered re-concatenation reproduces exactly
+    (the spans_roundtrip md5 contract). Gates: media ratio <= 1/3
+    (integer cross-multiplication: keeps m <= 1), broken refs dropped."""
+    from fess_ds_s3_spark.plans.curate import curate_interleaved
+    d = _docs(spark, sf_dir)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    half = (F.size(words) / 2).cast("int")
+    t1 = F.array_join(F.slice(words, F.lit(1), half), " ")
+    t2 = F.array_join(F.slice(words, half + 1, F.size(words) - half), " ")
+
+    def span(kind, text_col, ref_col, off):
+        return F.struct(F.lit(kind).alias("kind"), text_col.alias("text"),
+                        ref_col.alias("media_ref"),
+                        F.lit(off).alias("offset"))
+
+    none_s = F.lit(None).cast("string")
+    ref = [F.concat(F.lit("https://media.example.com/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f"-{j}.png")) for j in range(2)]
+    ref[0] = F.when(F.col("doc_id") % 7 == 0, none_s).otherwise(ref[0])
+    media_all = F.array(span("media", none_s, ref[0], 1),
+                        span("media", none_s, ref[1], 2))
+    m_count = (F.col("doc_id") % 3).cast("int")
+    spans = F.concat(F.slice(media_all, F.lit(1), m_count),
+                     F.array(span("text", t2, none_s, 10),
+                             span("text", t1, none_s, 0)))
+    docs = d.select("doc_id", spans.alias("spans"))
+    return curate_interleaved(docs, max_media=(1, 3))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -976,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefetch_dedup": q_prefetch_dedup,
         "corpus_curate": q_corpus_curate,
         "curate_sample_cap": q_curate_sample_cap,
+        "curate_interleaved": q_curate_interleaved,
     }
 
 
@@ -1738,4 +1780,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, doc_id, lang_guess, ws_tokens, stopword_ratio,
                    dup_count, source
             FROM ranked WHERE rk <= 5""",
+        "curate_interleaved": """
+            WITH raw AS (
+              SELECT doc_id, text,
+                CAST(doc_id % 3 AS INTEGER) AS n_media,
+                CAST(2 + doc_id % 3 AS INTEGER) AS n_spans,
+                (doc_id % 7 = 0 AND doc_id % 3 >= 1) AS broken,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:the|and|of|to|is)\\b')) AS s_en,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:der|die|und|nicht|das)\\b')) AS s_de,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:el|los|las|una|que)\\b')) AS s_es,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS ws_tokens,
+                len(regexp_extract_all(lower(text),
+             '\\b(?:the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b'
+                    )) AS stop_hits
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, n_spans, n_media, broken, ws_tokens,
+                     stop_hits,
+                     CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'en'
+                          WHEN s_de = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'de'
+                          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es)
+                            THEN 'fr'
+                          ELSE 'es' END AS lang_guess,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE round(stop_hits * 1.0 / ws_tokens, 4)
+                     END AS stopword_ratio,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                         'g')) AS fp
+              FROM raw
+            ),
+            kept AS (
+              SELECT * FROM m
+              WHERE n_media * 3 <= n_spans * 1
+                AND NOT broken
+                AND lang_guess IN ('en') AND ws_tokens >= 20
+                AND stop_hits * 50 >= ws_tokens * 1
+            )
+            SELECT fp,
+                   min(doc_id) AS doc_id,
+                   arg_min(lang_guess, doc_id) AS lang_guess,
+                   arg_min(ws_tokens, doc_id) AS ws_tokens,
+                   arg_min(stopword_ratio, doc_id) AS stopword_ratio,
+                   arg_min(n_spans, doc_id) AS n_spans,
+                   arg_min(n_media, doc_id) AS n_media,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM kept GROUP BY fp""",
     }

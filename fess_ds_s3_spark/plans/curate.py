@@ -138,3 +138,80 @@ def curate_corpus(docs: DataFrame, *,
             salt_buckets=cap_salt_buckets,
             salt_key=F.xxhash64(F.col(id_col)))
     return survivors
+
+
+def curate_interleaved(docs: DataFrame, *,
+                       spans: str = "spans",
+                       id_col: str = "doc_id",
+                       langs: Sequence[str] = ("en",),
+                       min_tokens: int = 20,
+                       min_stopword: tuple[int, int] = (1, 50),
+                       max_media: tuple[int, int] | None = (1, 2),
+                       drop_broken_media: bool = True) -> DataFrame:
+    """Curation funnel over the input_hint's native payload shape —
+    ``(doc_id, spans: array<struct<kind, text, media_ref, offset>>)``
+    interleaved text + media documents.
+
+    A multimodal training corpus is curated on BOTH modalities at once:
+    the text quality gates of :func:`curate_corpus` apply to the
+    offset-ordered concatenation of the text spans (the P9 extraction,
+    operators/extract.text_from_spans), while two span-structure gates
+    drop documents whose media payload is junk:
+
+    - ``max_media=(num, den)``: keep iff ``n_media * den <= n_spans *
+      num`` — an exact integer media-ratio ceiling (a doc that is mostly
+      media markers carries little trainable text per row). ``None``
+      disables.
+    - ``drop_broken_media``: drop any document with a media span whose
+      ``media_ref`` is NULL or empty — a dangling reference cannot be
+      fetched, and an interleaved trainer cannot substitute it.
+
+    Exact dedup then runs on the fingerprint of the EXTRACTED text, so
+    two docs whose spans chunk the same text differently (or order the
+    array differently — extraction re-sorts by offset) still fold into
+    one survivor.
+
+    Scale shape: span stats and extraction are per-row JVM array
+    expressions (no explode — a 10k-span doc never becomes 10k rows);
+    the structural filters run before the single fingerprint shuffle, so
+    the wide stage sees only the kept fraction. Output adds ``n_spans``
+    / ``n_media`` (the survivor's) to the :func:`curate_corpus` schema.
+    """
+    from fess_ds_s3_spark.operators.extract import text_from_spans
+    sp = F.col(spans)
+    num, den = min_stopword
+    scored = docs.select(
+        F.col(id_col),
+        text_from_spans(spans).alias("_text"),
+        F.size(sp).alias("n_spans"),
+        F.size(F.filter(sp, lambda s: s["kind"] == F.lit("media")))
+        .alias("n_media"),
+        F.exists(sp, lambda s: (s["kind"] == F.lit("media"))
+                 & (s["media_ref"].isNull() | (s["media_ref"] == "")))
+        .alias("_broken"))
+    if max_media is not None:
+        m_num, m_den = max_media
+        scored = scored.filter(
+            F.col("n_media") * F.lit(m_den)
+            <= F.col("n_spans") * F.lit(m_num))
+    if drop_broken_media:
+        scored = scored.filter(~F.col("_broken"))
+    scored = scored.select(
+        F.col(id_col), "n_spans", "n_media",
+        T.lang_id("_text").alias("lang_guess"),
+        T.token_count_ws("_text").alias("ws_tokens"),
+        T.stopword_hits("_text").alias("_stop_hits"),
+        T.stopword_ratio("_text").alias("stopword_ratio"),
+        T.fingerprint_md5("_text").alias("fp"))
+    kept = scored.filter(
+        F.col("lang_guess").isin(*langs)
+        & (F.col("ws_tokens") >= F.lit(min_tokens))
+        & (F.col("_stop_hits") * F.lit(den)
+           >= F.col("ws_tokens") * F.lit(num)))
+    winner_fields = [id_col, "lang_guess", "ws_tokens", "stopword_ratio",
+                     "n_spans", "n_media"]
+    winner = F.min(F.struct(*winner_fields)).alias("_w")
+    return (kept.groupBy("fp")
+            .agg(winner, F.count(F.lit(1)).alias("dup_count"))
+            .select("fp", *[f"_w.{f}" for f in winner_fields],
+                    "dup_count"))

@@ -71,3 +71,75 @@ class TestCurateCorpus:
         assert {r.doc_id for r in strict.collect()} == {0, 7}
         # schema identical across tiers
         assert near.columns == base.columns
+
+
+@pytest.fixture(scope="module")
+def interleaved(spark):
+    """Hand-built (doc_id, spans) rows; span arrays deliberately out of
+    offset order so extraction must re-sort."""
+    en = ("the cat and the dog ran to the house of the old man and it "
+          "was good for all of them to rest in the shade is what we say")
+    w = en.split()
+    j = " ".join
+
+    def t(text_, off):
+        return ("text", text_, None, off)
+
+    def m(ref, off):
+        return ("media", None, ref, off)
+
+    rows = [
+        # kept: 2 text spans + 1 valid media (ratio 1/3), out of order
+        (0, [m("https://m/0.png", 1), t(j(w[15:]), 2), t(j(w[:15]), 0)]),
+        # same extracted text, different chunking + no media → same fp
+        (1, [t(j(w[20:]), 9), t(j(w[:7]), 1), t(j(w[7:20]), 5)]),
+        # mostly media: 3 media / 4 spans → ratio gate drops it
+        (2, [m("https://m/2a.png", 1), m("https://m/2b.png", 2),
+             t(en + " two", 0), m("https://m/2c.png", 3)]),
+        # broken media (NULL ref) → dropped unless drop_broken_media=False
+        (3, [t(j(w[:15]) + " three", 0), m(None, 1), t(j(w[15:]), 2)]),
+        # empty-string ref is broken too
+        (5, [t(j(w[:15]) + " five", 0), m("", 1), t(j(w[15:]), 2)]),
+        # german text → lang gate
+        (4, [t("der hund und die katze nicht das haus " * 4, 0)]),
+    ]
+    schema = ("doc_id long, spans array<struct<kind:string, text:string, "
+              "media_ref:string, offset:int>>")
+    return spark.createDataFrame(rows, schema)
+
+
+class TestCurateInterleaved:
+    def test_gates_and_dedup(self, spark, interleaved):
+        from fess_ds_s3_spark.plans.curate import curate_interleaved
+        out = {r.doc_id: r for r in
+               curate_interleaved(interleaved).collect()}
+        assert set(out) == {0}
+        # docs 0 and 1 extract to the SAME text despite different
+        # chunking and array order → folded, doc 0 wins
+        assert out[0].dup_count == 2
+        assert out[0].n_spans == 3 and out[0].n_media == 1
+        assert out[0].lang_guess == "en"
+
+    def test_broken_media_knob(self, spark, interleaved):
+        from fess_ds_s3_spark.plans.curate import curate_interleaved
+        kept = {r.doc_id for r in
+                curate_interleaved(interleaved,
+                                   drop_broken_media=False).collect()}
+        assert kept == {0, 3, 5}
+
+    def test_media_ratio_knob(self, spark, interleaved):
+        from fess_ds_s3_spark.plans.curate import curate_interleaved
+        loose = {r.doc_id for r in
+                 curate_interleaved(interleaved, max_media=None).collect()}
+        assert 2 in loose
+        tight = {r.doc_id for r in
+                 curate_interleaved(interleaved,
+                                    max_media=(0, 1)).collect()}
+        assert tight == {1}  # only the media-free doc passes a 0-ratio
+
+    def test_no_explode_single_shuffle(self, spark, interleaved):
+        from fess_ds_s3_spark.plans.curate import curate_interleaved
+        plan = (curate_interleaved(interleaved)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+        assert "Generate" not in plan, plan  # no explode of span arrays
