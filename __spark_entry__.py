@@ -931,6 +931,10 @@ def q_curate_interleaved(spark, sf_dir):
     (integer cross-multiplication: keeps m <= 1), broken refs dropped."""
     from fess_ds_s3_spark.plans.curate import curate_interleaved
     d = _docs(spark, sf_dir)
+    return curate_interleaved(_synth_spans(d), max_media=(1, 3))
+
+
+def _synth_spans(d):
     words = F.split(
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
     half = (F.size(words) / 2).cast("int")
@@ -953,8 +957,34 @@ def q_curate_interleaved(spark, sf_dir):
     spans = F.concat(F.slice(media_all, F.lit(1), m_count),
                      F.array(span("text", t2, none_s, 10),
                              span("text", t1, none_s, 0)))
-    docs = d.select("doc_id", spans.alias("spans"))
-    return curate_interleaved(docs, max_media=(1, 3))
+    return d.select("doc_id", spans.alias("spans"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/packing.py): documents
+    sharded by ``doc_id % 16`` (oracle-derivable; production default is
+    xxhash64), laid out in doc_id order within each shard, sequence
+    boundary every 512 whitespace tokens — ``seq_id``/``seq_offset`` are
+    integer-exact window math (pmod + exactly-divisible division), so
+    the DuckDB oracle's ``cum // 512`` / ``cum % 512`` reproduce them
+    bit-for-bit. One shuffle, on the shard key."""
+    from fess_ds_s3_spark.operators.packing import pack_sequences
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count_ws("text").alias("tokens"))
+    return pack_sequences(d, "tokens", budget=512,
+                          shard=(F.col("doc_id") % 16))
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/eval/test split (functions/sampling.hash_split,
+    8:1:1): each doc's label is a pure function of md5(doc_id || seed) —
+    exhaustive, disjoint, stable under repartitioning — and the DuckDB
+    oracle reproduces it with the same chained hex-threshold CASE."""
+    from fess_ds_s3_spark.functions.sampling import hash_split
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        hash_split("doc_id", {"train": 8, "eval": 1, "test": 1},
+                   seed="split1").alias("split"))
 
 
 # ---------------------------------------------------------------------------
@@ -1018,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "curate_sample_cap": q_curate_sample_cap,
         "curate_interleaved": q_curate_interleaved,
+        "pack_sequences": q_pack_sequences,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1836,4 +1868,32 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(n_media, doc_id) AS n_media,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM kept GROUP BY fp""",
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS tokens,
+                CAST(doc_id % 16 AS INTEGER) AS shard
+              FROM documents
+            ),
+            c AS (
+              SELECT *, COALESCE(SUM(tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum
+              FROM t
+            )
+            SELECT doc_id, tokens, shard,
+                   CAST(cum // 512 AS BIGINT) AS seq_id,
+                   CAST(cum % 512 AS BIGINT) AS seq_offset
+            FROM c""",
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                             || 'split1'), 1, 8) < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                             || 'split1'), 1, 8) < 'e6666666' THEN 'eval'
+                        ELSE 'test' END AS split
+            FROM documents""",
     }

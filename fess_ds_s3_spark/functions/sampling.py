@@ -70,3 +70,44 @@ def hash_sample(key: Column | str, num: int, den: int,
         # though 16^8 is the full space — short-circuit the keep-all rate
         return col.isNotNull()
     return F.substring(F.md5(keyed), 1, _HEX_DIGITS) < F.lit(threshold)
+
+
+def hash_split(key: Column | str, weights: dict[str, int],
+               seed: str = "") -> Column:
+    """Label column for a deterministic multi-way split (train/eval/test):
+    each key's hash lands in exactly one contiguous hex range, sized
+    ``weight / sum(weights)``. Being keyed on content, the split is a
+    partition of the corpus — exhaustive, disjoint, reproducible across
+    runs, engines and cluster sizes — and a document can never migrate
+    between train and eval when the pipeline is re-run or re-partitioned
+    (the leakage mode ``randomSplit`` invites). NULL keys get a NULL
+    label.
+
+    ``weights`` maps label → integer weight, iterated in insertion order
+    (cumulative thresholds, so the FIRST labels own the LOW hash ranges;
+    keep the dict order stable across runs).
+
+    Oracle equivalent: chained ``CASE WHEN hex8 < '<t1>' THEN l1 WHEN
+    hex8 < '<t2>' THEN l2 ... END`` with the same cumulative thresholds.
+    """
+    if not weights:
+        raise ValueError("hash_split needs at least one label")
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("hash_split weights must be >= 0 with a "
+                         "positive sum")
+    col = F.col(key) if isinstance(key, str) else key
+    keyed = col.cast("string")
+    if seed:
+        keyed = F.concat(keyed, F.lit(seed))
+    hex8 = F.substring(F.md5(keyed), 1, _HEX_DIGITS)
+    labels = list(weights)
+    out = None
+    cum = 0
+    for label in labels[:-1]:
+        cum += weights[label]
+        cond = hex8 < F.lit(sample_threshold_hex(cum, total))
+        out = F.when(cond, F.lit(label)) if out is None \
+            else out.when(cond, F.lit(label))
+    last = F.when(col.isNotNull(), F.lit(labels[-1]))
+    return last if out is None else out.otherwise(last)

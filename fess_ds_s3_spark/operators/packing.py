@@ -1,0 +1,75 @@
+"""Token-budget sequence packing: assign curated documents to fixed-size
+training sequences.
+
+The last hop of a training-data pipeline turns a bag of documents into
+sequences of ~``budget`` tokens. The classic greedy packer ("close the
+bin when the next doc doesn't fit") is a SEQUENTIAL, non-associative
+fold — it cannot be expressed as a distributed aggregate without giving
+up determinism or single-pass execution. This operator deliberately uses
+the other standard recipe — fixed-stride packing: documents are laid out
+contiguously in a deterministic order and a sequence boundary falls every
+``budget`` tokens; a document that straddles a boundary belongs to the
+sequence where it STARTS (sequences can overshoot by at most one doc —
+the trainer's own chunking handles the tail, exactly as it does for
+documents longer than the context window).
+
+That definition is a pure window expression:
+
+    seq_id = floor(cum_tokens_before / budget)
+
+so Catalyst plans it as ONE shuffle (on the shard key) + an in-partition
+running sum — no driver fold, no iteration, and bit-identical output for
+any partitioning of the input.
+
+Sharding: a global layout order would need a single total sort — the
+anti-scale shape — so packing is per-shard: documents are hashed into
+``shards`` independent layout groups and packed within each. At 100 TB,
+``shards`` sizes the sort tasks (corpus_tokens / shards per task) and
+sequences never cross shards, so executors pack in parallel and a shard
+re-pack touches only that shard. Shard assignment defaults to
+``xxhash64(id) % shards`` (uniform, content-keyed); pass ``shard=`` to
+override — e.g. an oracle-friendly ``id % shards``, or a curriculum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, tokens_col: str,
+                   id_col: str = "doc_id", *,
+                   budget: int, shards: int = 1024,
+                   shard: Column | None = None,
+                   out_shard: str = "shard",
+                   out_seq: str = "seq_id",
+                   out_offset: str = "seq_offset") -> DataFrame:
+    """Add ``(shard, seq_id, seq_offset)`` to every document row.
+
+    ``seq_id`` numbers sequences within a shard (0-based); ``seq_offset``
+    is the document's token offset inside its sequence. Documents are
+    laid out in ascending ``id_col`` order within each shard — ``id_col``
+    must be unique per shard for the layout to be a total order.
+
+    The mapping is a pure function of ``(id, tokens, shard)``: stable
+    under repartitioning, resumable, and reproducible by any engine with
+    window aggregates (the correctness gate's DuckDB oracle runs the
+    same SUM OVER).
+    """
+    if budget < 1:
+        raise ValueError("pack_sequences needs budget >= 1")
+    if shard is None:
+        if shards < 1:
+            raise ValueError("pack_sequences needs shards >= 1")
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    shard = shard.cast("int")
+    out = df.withColumn(out_shard, shard)
+    w = (Window.partitionBy(out_shard)
+         .orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    # integer-exact split of cum_before into (seq, offset): pmod then an
+    # exactly-divisible division — no float boundary at any magnitude
+    off = F.pmod(cum_before, F.lit(budget)).cast("long")
+    seq = ((cum_before - off) / F.lit(budget)).cast("long")
+    return (out.withColumn(out_seq, seq).withColumn(out_offset, off))
