@@ -79,7 +79,7 @@ BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
             "dedup_exact", "token_count", "cosine_topk", "minhash_lsh",
-            "corpus_curate"]
+            "corpus_curate", "curate_sample_cap", "pack_sequences"]
 
 
 def _session(cores: int, *, aqe: bool = True,
