@@ -33,6 +33,8 @@ override — e.g. an oracle-friendly ``id % shards``, or a curriculum key.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +43,7 @@ def pack_sequences(df: DataFrame, tokens_col: str,
                    id_col: str = "doc_id", *,
                    budget: int, shards: int = 1024,
                    shard: Column | None = None,
+                   within: Sequence[str] = (),
                    out_shard: str = "shard",
                    out_seq: str = "seq_id",
                    out_offset: str = "seq_offset") -> DataFrame:
@@ -50,6 +53,11 @@ def pack_sequences(df: DataFrame, tokens_col: str,
     is the document's token offset inside its sequence. Documents are
     laid out in ascending ``id_col`` order within each shard — ``id_col``
     must be unique per shard for the layout to be a total order.
+
+    ``within`` names columns that additionally scope the layout — e.g.
+    the train/eval split label: sequences then never span two ``within``
+    values (an eval doc can never be packed into a train sequence), at
+    zero extra shuffles (the scope columns just join the partition key).
 
     The mapping is a pure function of ``(id, tokens, shard)``: stable
     under repartitioning, resumable, and reproducible by any engine with
@@ -64,7 +72,7 @@ def pack_sequences(df: DataFrame, tokens_col: str,
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     shard = shard.cast("int")
     out = df.withColumn(out_shard, shard)
-    w = (Window.partitionBy(out_shard)
+    w = (Window.partitionBy(*within, out_shard)
          .orderBy(F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, -1))
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))

@@ -65,6 +65,25 @@ class TestPackSequences:
         shards = {r.shard for r in out.collect()}
         assert shards <= set(range(16)) and len(shards) > 1
 
+    def test_within_scopes_sequences(self, spark, sized):
+        lbl = sized.withColumn(
+            "split", F.when(F.col("doc_id") % 5 == 0, "eval")
+            .otherwise("train"))
+        out = pack_sequences(lbl, "tokens", budget=200,
+                             shard=(F.col("doc_id") % 4),
+                             within=["split"]).collect()
+        # within each (split, shard), the layout matches the reference
+        # fold over that subset ALONE — i.e. a split's sequences are
+        # packed as if the other split did not exist (sequence identity
+        # is (split, shard, seq_id); numbering restarts per split)
+        expect = {}
+        for split in ("train", "eval"):
+            sub = [(r.doc_id, r.tokens) for r in out if r.split == split]
+            for i, (s, q, o) in _py_pack(sub, 200, 4).items():
+                expect[i] = (s, q, o)
+        for r in out:
+            assert (r.shard, r.seq_id, r.seq_offset) == expect[r.doc_id]
+
     def test_validation(self, spark, sized):
         with pytest.raises(ValueError):
             pack_sequences(sized, "tokens", budget=0)
