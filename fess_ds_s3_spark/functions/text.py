@@ -123,6 +123,104 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+# Patterns live in the Java-regex ∩ RE2 common subset (no lookaround, no
+# backreferences), so the driver's DuckDB oracle runs them VERBATIM.
+
+#: RFC-5322-ish practical email shape
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: dotted-quad IPv4 (no octet-range check — scrubbers over-redact by design)
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+#: 8+ char digit run allowing (), -, space separators, optional leading +
+#: (heuristic: also catches timestamps/serials — over-redaction is the
+#: accepted trade for a training-corpus scrubber)
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+#: redaction order matters: emails first (their digits must not be
+#: phone-matched), then IPs (dots keep them out of the phone class anyway),
+#: then phones. Tokens contain no digits/@/dots, so later patterns can
+#: never match an earlier replacement.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email / IPv4 / phone-shaped substrings with typed tokens,
+    applied in :data:`PII_RULES` order. Pure ``regexp_replace`` chain —
+    JVM-side, no UDF, shuffle-free."""
+    out = _col(text)
+    for _name, pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts as ``{kind: Column}`` — counted
+    SEQUENTIALLY on the partially-redacted text (each kind sees the text
+    after earlier rules ran), so counts always agree with what
+    :func:`redact_pii` replaced."""
+    cur = _col(text)
+    out: dict[str, Column] = {}
+    for name, pattern, token in PII_RULES:
+        out[name] = _count_matches(cur, pattern).cast("long")
+        cur = F.regexp_replace(cur, pattern, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+def dup_line_frac(text: Column | str) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    (``(n - distinct) / n``, 4 dp; 0.0 when no non-blank lines) — the
+    boilerplate/template signal: nav bars and footers repeat verbatim.
+    Per-row JVM array math, shuffle-free."""
+    lines = F.filter(F.split(_col(text), "\n"),
+                     lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    dups = n - F.size(F.array_distinct(lines))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(dups.cast("double") / n, 4))
+
+
+def top_bigram_frac(text: Column | str) -> Column:
+    """Fraction of word-bigram slots taken by the single most frequent
+    bigram (4 dp; 0.0 with fewer than 2 tokens) — the stuck-keyboard /
+    keyword-stuffing signal (the Gopher "top n-gram fraction" family).
+
+    Per-row and shuffle-free: bigrams are sorted in-array and the max
+    equal-run length is found with one ``aggregate`` fold — no explode, a
+    10k-token document never becomes 10k rows."""
+    t = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    words = F.split(t, " ")
+    nb = F.size(words) - 1
+    grams = F.array_sort(F.transform(
+        F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1))))
+    run0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    max_run = F.aggregate(
+        grams, run0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1)).cast("long")).alias("best")),
+        lambda acc: acc["best"])
+    return F.when(nb < 1, F.lit(0.0)).otherwise(
+        F.round(max_run.cast("double") / nb, 4))
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Exact-dedup fingerprint: md5 of the normalized text (lowercased,
     whitespace collapsed). md5 exists verbatim in DuckDB → oracle-checkable."""

@@ -73,6 +73,11 @@ class NoSuchKeyError(KeyError):
     """Missing object (analog of S3 NoSuchKeyException)."""
 
 
+class NotModifiedError(Exception):
+    """Conditional GET matched ``if_none_match`` (analog of S3/HTTP 304:
+    the object's ETag equals the caller's — no body transferred)."""
+
+
 class FsObjectStore:
     """Local-filesystem object store: ``root/bucket/key`` (+ sidecar meta).
 
@@ -108,13 +113,20 @@ class FsObjectStore:
 
     # ----- read -------------------------------------------------------------
 
-    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
-        """GET: (content bytes, content type). Raises NoSuchKeyError."""
+    def get_object(self, bucket: str, key: str, *,
+                   if_none_match: str | None = None) -> tuple[bytes, str]:
+        """GET: (content bytes, content type). Raises NoSuchKeyError on a
+        missing key; with ``if_none_match`` set, raises NotModifiedError
+        when the object's ETag (md5, matching the listing's) equals it —
+        the S3 conditional-GET contract, no body read."""
         path = self._object_path(bucket, key)
         if not os.path.isfile(path):
             raise NoSuchKeyError(f"{bucket}/{key}")
         with open(path, "rb") as fh:
             data = fh.read()
+        if (if_none_match is not None
+                and hashlib.md5(data).hexdigest() == if_none_match):
+            raise NotModifiedError(f"{bucket}/{key}")
         ctype = DEFAULT_CONTENT_TYPE
         if os.path.isfile(path + _META_SUFFIX):
             with open(path + _META_SUFFIX) as fh:
@@ -195,7 +207,8 @@ class ObjectStore(Protocol):
     (the engine's analog of the reference's AmazonS3Client wrapper,
     AmazonS3Client.java:124-152)."""
 
-    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]: ...
+    def get_object(self, bucket: str, key: str, *,
+                   if_none_match: str | None = None) -> tuple[bytes, str]: ...
 
     def list_objects(self, bucket: str, prefix: str = "",
                      start_after: str = "",
@@ -230,9 +243,9 @@ class _LatencyStore:
         self._inner = inner
         self._latency = get_latency_s
 
-    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+    def get_object(self, bucket: str, key: str, **kw) -> tuple[bytes, str]:
         time.sleep(self._latency)
-        return self._inner.get_object(bucket, key)
+        return self._inner.get_object(bucket, key, **kw)
 
     def __getattr__(self, name):
         return getattr(self._inner, name)
@@ -258,10 +271,10 @@ class _FaultyStore:
         self._inner = inner
         self._marker = fail_key_marker
 
-    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+    def get_object(self, bucket: str, key: str, **kw) -> tuple[bytes, str]:
         if self._marker and self._marker in key:
             raise RuntimeError("SlowDown: reduce request rate")
-        return self._inner.get_object(bucket, key)
+        return self._inner.get_object(bucket, key, **kw)
 
     def __getattr__(self, name):
         return getattr(self._inner, name)
@@ -278,6 +291,43 @@ class FaultyFsStoreSpec:
 
     def connect(self) -> _FaultyStore:
         return _FaultyStore(FsObjectStore(self.root), self.fail_key_marker)
+
+
+class _FlakyStore:
+    """Fail the first ``fail_times`` GET attempts of every key with a
+    transient-looking error, then succeed — the retry-policy test double.
+    Attempt counters are per-connect (per Spark task), guarded by a lock
+    because the fetch stage's GET pool is multi-threaded."""
+
+    def __init__(self, inner, fail_times: int):
+        import threading
+        self._inner = inner
+        self._fail_times = fail_times
+        self._attempts: dict[tuple[str, str], int] = {}
+        self._lock = threading.Lock()
+
+    def get_object(self, bucket: str, key: str, **kw) -> tuple[bytes, str]:
+        with self._lock:
+            seen = self._attempts.get((bucket, key), 0)
+            self._attempts[(bucket, key)] = seen + 1
+        if seen < self._fail_times:
+            raise ConnectionError(f"transient failure {seen + 1} for {key}")
+        return self._inner.get_object(bucket, key, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+@dataclass(frozen=True)
+class FlakyFsStoreSpec:
+    """FsObjectStore whose every GET fails ``fail_times`` times before
+    succeeding — exercises the fetch stage's bounded retry loop without a
+    real flaky store."""
+    root: str
+    fail_times: int = 1
+
+    def connect(self) -> _FlakyStore:
+        return _FlakyStore(FsObjectStore(self.root), self.fail_times)
 
 
 def s3_client_kwargs(cfg: CrawlConfig) -> dict[str, Any]:
@@ -327,14 +377,23 @@ class S3ObjectStore:
             kwargs["config"] = BotoConfig(proxies=proxies)
         return cls(boto3.client("s3", **kwargs))
 
-    def get_object(self, bucket: str, key: str) -> tuple[bytes, str]:
+    def get_object(self, bucket: str, key: str, *,
+                   if_none_match: str | None = None) -> tuple[bytes, str]:
         from botocore.exceptions import ClientError
+        kwargs: dict[str, Any] = {"Bucket": bucket, "Key": key}
+        if if_none_match is not None:
+            # S3 quotes listing ETags; accept either form from the caller
+            kwargs["IfNoneMatch"] = (if_none_match
+                                     if if_none_match.startswith('"')
+                                     else f'"{if_none_match}"')
         try:
-            resp = self._client.get_object(Bucket=bucket, Key=key)
+            resp = self._client.get_object(**kwargs)
         except ClientError as exc:
             code = exc.response.get("Error", {}).get("Code")
             if code in ("NoSuchKey", "404"):
                 raise NoSuchKeyError(f"{bucket}/{key}") from exc
+            if code in ("304", "NotModified"):
+                raise NotModifiedError(f"{bucket}/{key}") from exc
             raise
         body = resp["Body"].read()
         return body, resp.get("ContentType") or DEFAULT_CONTENT_TYPE
@@ -634,8 +693,28 @@ def fetch_robots_bodies_distributed(spark: SparkSession,
             .select("host", _decode("content").alias("body")))
 
 
+def default_retryable(exc: Exception) -> bool:
+    """Transient-error predicate for the fetch stage's retry loop: network
+    hiccups and throttle/5xx-shaped store errors retry; semantic outcomes
+    (missing key, conditional-GET 304) and everything else surface
+    immediately. Matches by type for Python's own transient families and by
+    the S3 error-code vocabulary for client errors (boto3 raises them as
+    ClientError whose str() carries the code)."""
+    if isinstance(exc, (NoSuchKeyError, NotModifiedError)):
+        return False
+    if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+        return True
+    transient = ("SlowDown", "Throttling", "RequestTimeout",
+                 "InternalError", "ServiceUnavailable", "503")
+    return any(code in str(exc) for code in transient)
+
+
 def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
-                  fetch_concurrency: int = 1) -> DataFrame:
+                  fetch_concurrency: int = 1,
+                  if_none_match_col: str | None = None,
+                  retries: int = 0,
+                  retry_backoff_s: float = 0.05,
+                  retryable=default_retryable) -> DataFrame:
     """S4 production fetch: batched GETs from inside ``mapInPandas``.
 
     Output contract matches :func:`~fess_ds_s3_spark.operators.extract.
@@ -666,50 +745,95 @@ def fetch_objects(admitted: DataFrame, root: "str | StoreSpec", *,
     default ``number_of_threads``. Per-round GET totals stay bounded by
     admissions; global concurrency ≤ tasks × fetch_concurrency.
 
-    CPU-side work stays vectorized downstream; the admitted batch is
-    budget-bounded, so total GETs per round = admissions.
+    ``if_none_match_col``: name of an input column carrying a prior ETag
+    (e.g. ``prev_e_tag`` from an incremental listing diff) — each GET goes
+    out conditional (``IfNoneMatch``), and an unchanged object transfers NO
+    body: the row comes back with ``_fetched`` true, ``content`` null and a
+    ``_not_modified`` true flag (the column is only present when the
+    feature is on). Route ``_not_modified`` rows to the "unchanged" path
+    BEFORE extraction — they deliberately carry no bytes. At 10^9 objects
+    this is the listing-to-fetch race guard: the diff already picked
+    changed candidates, and the conditional GET makes the skip exact even
+    when an object reverts between the listing and the fetch. Null/empty
+    prior ETags fetch unconditionally.
+
+    ``retries``: bounded per-object retry budget for TRANSIENT store errors
+    (``retryable`` predicate, default :func:`default_retryable` — throttle
+    / timeout / connection shapes; a missing key or 304 never retries).
+    Exponential backoff ``retry_backoff_s * 2^attempt`` sleeps inside the
+    GET pool's worker thread, so one throttled object never stalls the
+    whole batch. After the budget is spent the row routes to E2 under the
+    exception name exactly like an unretried error — the crawl continues.
     """
     spec = as_store_spec(root)
     if fetch_concurrency < 1:
         raise ValueError("fetch_concurrency must be >= 1")
-    base = [f for f in admitted.schema.fields
-            if f.name not in ("content", "resp_content_type", "_fetched",
-                              "_fetch_error")]
+    if retries < 0:
+        raise ValueError("retries must be >= 0")
+    if if_none_match_col is not None \
+            and if_none_match_col not in admitted.columns:
+        raise ValueError(f"if_none_match_col {if_none_match_col!r} "
+                         "is not an input column")
+    conditional = if_none_match_col is not None
+    drop = {"content", "resp_content_type", "_fetched", "_fetch_error"}
+    if conditional:
+        drop.add("_not_modified")
+    base = [f for f in admitted.schema.fields if f.name not in drop]
     carry = [f.name for f in base]
-    out_schema = StructType(base + [
+    extra = [
         StructField("content", BinaryType(), True),
         StructField("resp_content_type", StringType(), True),
         StructField("_fetched", BooleanType(), True),
         StructField("_fetch_error", StringType(), True),
-    ])
+    ]
+    if conditional:
+        extra.append(StructField("_not_modified", BooleanType(), True))
+    out_schema = StructType(base + extra)
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = spec.connect()
 
-        def one(bucket: str, key: str):
-            try:
-                data, ctype = store.get_object(bucket, key)
-                return data, ctype, True, None
-            except NoSuchKeyError:
-                return None, None, None, None
-            except Exception as exc:  # per-object store error → E2 row
-                return None, None, None, type(exc).__name__
+        def one(bucket: str, key: str, etag):
+            # result: (content, ctype, _fetched, _fetch_error[, _not_mod])
+            kw = {}
+            if conditional and etag is not None and etag != "":
+                kw["if_none_match"] = etag
+            attempt = 0
+            while True:
+                try:
+                    data, ctype = store.get_object(bucket, key, **kw)
+                    return data, ctype, True, None, False
+                except NoSuchKeyError:
+                    return None, None, None, None, None
+                except NotModifiedError:
+                    return None, None, True, None, True
+                except Exception as exc:  # per-object store error
+                    if attempt < retries and retryable(exc):
+                        time.sleep(retry_backoff_s * (2 ** attempt))
+                        attempt += 1
+                        continue
+                    return None, None, None, type(exc).__name__, None
 
         pool = (ThreadPoolExecutor(max_workers=fetch_concurrency)
                 if fetch_concurrency > 1 else None)
         try:
             for pdf in batches:
-                pairs = list(zip(pdf["bucket"], pdf["key"]))
+                etags = (pdf[if_none_match_col] if conditional
+                         else [None] * len(pdf))
+                triples = list(zip(pdf["bucket"], pdf["key"], etags))
                 if pool is not None:
-                    results = list(pool.map(lambda bk: one(*bk), pairs))
+                    results = list(pool.map(lambda t: one(*t), triples))
                 else:
-                    results = [one(*bk) for bk in pairs]
+                    results = [one(*t) for t in triples]
                 out = pdf[carry].copy()
                 out["content"] = [r[0] for r in results]
                 out["resp_content_type"] = [r[1] for r in results]
                 out["_fetched"] = pd.array([r[2] for r in results],
                                            dtype="boolean")
                 out["_fetch_error"] = [r[3] for r in results]
+                if conditional:
+                    out["_not_modified"] = pd.array(
+                        [r[4] for r in results], dtype="boolean")
                 yield out
         finally:
             if pool is not None:

@@ -681,3 +681,132 @@ class TestDistributedRobotsFetch:
             spark, store.root, cfg, fetch_concurrency=4).collect()))
         assert a == b
         assert len(a) == 1 and a[0][0] == f"fess-0.s3.{REGION}.amazonaws.com"
+
+
+class TestConditionalFetch:
+    """if_none_match_col: conditional GETs skip unchanged bodies (304)."""
+
+    def _admitted(self, spark, store, etag_fn):
+        import hashlib
+        rows = []
+        for b in ("fess-0", "fess-1"):
+            for i in range(5):
+                body = f"body-{b}-{i}".encode()
+                rows.append((b, f"files/doc-{i}.txt",
+                             etag_fn(hashlib.md5(body).hexdigest(), i)))
+        return spark.createDataFrame(
+            rows, "bucket string, key string, prior string")
+
+    def test_matching_etag_is_not_modified_no_body(self, spark, store):
+        adm = self._admitted(spark, store,
+                             lambda etag, i: etag if i % 2 == 0 else "stale")
+        out = fetch_objects(adm, store.root,
+                            if_none_match_col="prior").collect()
+        by_key = {(r["bucket"], r["key"]): r for r in out}
+        for (b, k), r in by_key.items():
+            i = int(k[-5])
+            if i % 2 == 0:
+                assert r["_not_modified"] and r["_fetched"]
+                assert r["content"] is None
+            else:
+                assert r["_not_modified"] is False
+                assert bytes(r["content"]) == f"body-{b}-{i}".encode()
+
+    def test_null_or_empty_prior_fetches_unconditionally(self, spark, store):
+        adm = self._admitted(spark, store,
+                             lambda etag, i: None if i % 2 else "")
+        out = fetch_objects(adm, store.root,
+                            if_none_match_col="prior").collect()
+        assert all(r["_fetched"] and not r["_not_modified"]
+                   and r["content"] is not None for r in out)
+
+    def test_column_absent_without_feature(self, spark, store):
+        adm = self._admitted(spark, store, lambda etag, i: etag)
+        plain = fetch_objects(adm.drop("prior"), store.root)
+        assert "_not_modified" not in plain.columns
+
+    def test_missing_if_none_match_col_rejected(self, spark, store):
+        adm = self._admitted(spark, store, lambda etag, i: etag)
+        with pytest.raises(ValueError):
+            fetch_objects(adm, store.root, if_none_match_col="nope")
+
+    def test_s3_adapter_304_maps_to_not_modified(self):
+        from botocore.stub import Stubber
+        from fess_ds_s3_spark.sources.object_store import (NotModifiedError,
+                                                           S3ObjectStore)
+        import boto3
+        client = boto3.client("s3", region_name=REGION,
+                              aws_access_key_id="k",
+                              aws_secret_access_key="s")
+        stub = Stubber(client)
+        stub.add_client_error(
+            "get_object", service_error_code="304",
+            http_status_code=304,
+            expected_params={"Bucket": "fess", "Key": "a.txt",
+                             "IfNoneMatch": '"abc"'})
+        with stub:
+            with pytest.raises(NotModifiedError):
+                # unquoted caller etag gets the S3 quoting added
+                S3ObjectStore(client).get_object("fess", "a.txt",
+                                                 if_none_match="abc")
+
+
+class TestFetchRetry:
+    """Bounded retry of transient store errors inside the fetch stage."""
+
+    def _admitted(self, spark, store):
+        rows = [(b, f"files/doc-{i}.txt")
+                for b in ("fess-0", "fess-1") for i in range(5)]
+        return spark.createDataFrame(rows, "bucket string, key string")
+
+    def test_retries_recover_flaky_store(self, spark, store):
+        from fess_ds_s3_spark.sources.object_store import FlakyFsStoreSpec
+        adm = self._admitted(spark, store).coalesce(1)
+        out = fetch_objects(adm, FlakyFsStoreSpec(store.root, fail_times=2),
+                            retries=2, retry_backoff_s=0.001).collect()
+        assert all(r["_fetched"] and r["_fetch_error"] is None for r in out)
+
+    def test_exhausted_budget_routes_error_row(self, spark, store):
+        from fess_ds_s3_spark.sources.object_store import FlakyFsStoreSpec
+        adm = self._admitted(spark, store).coalesce(1)
+        out = fetch_objects(adm, FlakyFsStoreSpec(store.root, fail_times=3),
+                            retries=1, retry_backoff_s=0.001).collect()
+        assert all(r["_fetch_error"] == "ConnectionError"
+                   and r["_fetched"] is None for r in out)
+
+    def test_retry_with_pool_and_conditional(self, spark, store):
+        import hashlib
+        from fess_ds_s3_spark.sources.object_store import FlakyFsStoreSpec
+        rows = []
+        for b in ("fess-0", "fess-1"):
+            for i in range(5):
+                etag = hashlib.md5(f"body-{b}-{i}".encode()).hexdigest()
+                rows.append((b, f"files/doc-{i}.txt",
+                             etag if i % 2 == 0 else "stale"))
+        adm = spark.createDataFrame(
+            rows, "bucket string, key string, prior string").coalesce(1)
+        out = fetch_objects(adm, FlakyFsStoreSpec(store.root, fail_times=1),
+                            fetch_concurrency=4, retries=2,
+                            retry_backoff_s=0.001,
+                            if_none_match_col="prior").collect()
+        for r in out:
+            i = int(r["key"][-5])
+            assert r["_not_modified"] == (i % 2 == 0)
+            assert r["_fetch_error"] is None
+
+    def test_default_retryable_predicate(self):
+        from fess_ds_s3_spark.sources.object_store import (NoSuchKeyError,
+                                                           NotModifiedError,
+                                                           default_retryable)
+        assert default_retryable(ConnectionError("boom"))
+        assert default_retryable(TimeoutError())
+        assert default_retryable(RuntimeError("SlowDown: reduce rate"))
+        assert default_retryable(RuntimeError("503 ServiceUnavailable"))
+        assert not default_retryable(NoSuchKeyError("b/k"))
+        assert not default_retryable(NotModifiedError("b/k"))
+        assert not default_retryable(RuntimeError("AccessDenied"))
+
+    def test_negative_retries_rejected(self, spark, store):
+        with pytest.raises(ValueError):
+            fetch_objects(self._admitted(spark, store), store.root,
+                          retries=-1)
