@@ -987,6 +987,75 @@ def q_corpus_split(spark, sf_dir):
                    seed="split1").alias("split"))
 
 
+def q_decontam(spark, sf_dir):
+    """Eval-set decontamination (operators/decontam.py): eval set =
+    documents with doc_id % 7 == 0; every corpus doc is audited for exact
+    word-8-gram overlap (md5 fingerprints, broadcast probe). Eval members
+    self-hit, near-copies cross-hit; DuckDB rebuilds the identical distinct
+    gram sets and counts."""
+    from fess_ds_s3_spark.operators.decontam import flag_contaminated
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    return flag_contaminated(d, ev, n=8)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (functions/text.redact_pii): documents augmented with
+    deterministic email/IP/phone shapes, then counted and redacted. The
+    patterns live in the Java-regex ∩ RE2 common subset, so the oracle
+    replays the identical regexes sequentially in DuckDB."""
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".9 tel +1 555 "),
+                 (F.lit(2000000) + F.col("doc_id")).cast("string"))
+        .alias("t"))
+    cnt = T.pii_counts("t")
+    return aug.select("doc_id",
+                      cnt["email"].alias("n_email"),
+                      cnt["ipv4"].alias("n_ipv4"),
+                      cnt["phone"].alias("n_phone"),
+                      T.redact_pii("t").alias("redacted"))
+
+
+def q_repetition(spark, sf_dir):
+    """Repetition quality gates (functions/text.dup_line_frac /
+    top_bigram_frac): lines are synthesized by turning ' the ' into
+    newlines (documents ship as one line), then the duplicate-line
+    fraction and the most-frequent-bigram fraction are computed per row —
+    sorted-array max-run fold, no explode. DuckDB re-derives both via
+    list functions / unnest-group-max."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("lined"))
+    return d.select("doc_id",
+                    T.dup_line_frac("lined").alias("dup_line_frac"),
+                    T.top_bigram_frac("lined").alias("top_bigram_frac"))
+
+
+def q_fetch_conditional(spark, sf_dir):
+    """S4 conditional fetch — ORACLE-CHECKED through the REAL store stage:
+    admitted rows carry a prior ETag (the true md5 for even doc_ids, a
+    stale marker for odd), the GETs go out IfNoneMatch, and unchanged
+    objects come back body-less with ``_not_modified`` set. DuckDB derives
+    the same routing from the fixture rule: not_modified ⇔ even doc_id;
+    modified rows' content md5 = md5(text)."""
+    from fess_ds_s3_spark.sources.object_store import fetch_objects
+    root = _ensure_store(spark, sf_dir)
+    f = (_frontier(spark, sf_dir)
+         .filter(F.col("doc_id") % 7 == 0)
+         .join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+         .select("doc_id", "bucket", "key", "url",
+                 F.when(F.col("doc_id") % 2 == 0, F.md5(F.col("text")))
+                 .otherwise(F.lit("stale")).alias("prior_etag")))
+    fetched = fetch_objects(f, root, if_none_match_col="prior_etag")
+    return fetched.select(
+        "url", F.col("_not_modified").alias("not_modified"),
+        F.md5("content").alias("content_md5"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1050,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_interleaved": q_curate_interleaved,
         "pack_sequences": q_pack_sequences,
         "corpus_split": q_corpus_split,
+        "decontam": q_decontam,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
+        "fetch_conditional": q_fetch_conditional,
     }
 
 
@@ -1896,4 +1969,107 @@ def oracle_sql() -> dict[str, str]:
                              || 'split1'), 1, 8) < 'e6666666' THEN 'eval'
                         ELSE 'test' END AS split
             FROM documents""",
+        "decontam": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gs
+              FROM toks
+            ), doc_g AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams
+            ), eval_g AS (
+              SELECT DISTINCT g FROM doc_g WHERE doc_id % 7 = 0
+            ), hits AS (
+              SELECT d.doc_id, count(*) AS h
+              FROM doc_g d JOIN eval_g e USING (g) GROUP BY d.doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.gs) AS BIGINT) AS doc_ngrams,
+                   CAST(coalesce(h.h, 0) AS BIGINT) AS eval_ngram_hits,
+                   coalesce(h.h, 0) >= 1 AS contaminated
+            FROM grams g LEFT JOIN hits h USING (doc_id)""",
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com ip 10.0.' || (doc_id % 256)
+                          || '.9 tel +1 555 ' || (2000000 + doc_id) AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_ipv4,
+                     regexp_replace(t1,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
+                     '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS redacted
+            FROM s2""",
+        "repetition": r"""
+            WITH lined AS (
+              SELECT doc_id, replace(text, ' the ', chr(10)) AS lined
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     list_filter(string_split(lined, chr(10)),
+                                 l -> trim(l) <> '') AS ls
+              FROM lined
+            ), dl AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round((len(ls) - len(list_distinct(ls)))
+                                     * 1.0 / len(ls), 4) END AS dup_line_frac
+              FROM lines
+            ), toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(lined)),
+                                                 '\s+', ' ', 'g'), ' ') AS w
+              FROM lined
+            ), bg AS (
+              SELECT doc_id, len(w) - 1 AS nb,
+                     list_transform(generate_series(1,
+                                                    greatest(len(w) - 1, 1)),
+                                    i -> w[i] || ' ' || w[i+1]) AS gs
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, unnest(gs) AS g FROM bg
+            ), top AS (
+              SELECT doc_id, max(c) AS mx FROM (
+                SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, d.dup_line_frac,
+                   CASE WHEN b.nb < 1 THEN 0.0
+                        ELSE round(t.mx * 1.0 / b.nb, 4)
+                   END AS top_bigram_frac
+            FROM bg b JOIN top t USING (doc_id)
+            JOIN dl d ON d.doc_id = b.doc_id""",
+        "fetch_conditional": FRONTIER_CTE + """
+            SELECT f.url,
+                   (f.doc_id % 2 = 0) AS not_modified,
+                   CASE WHEN f.doc_id % 2 = 0 THEN NULL
+                        ELSE md5(d.text) END AS content_md5
+            FROM frontier f JOIN documents d USING (doc_id)
+            WHERE f.doc_id % 7 = 0""",
     }
