@@ -38,6 +38,10 @@ STATUS_PENDING = "pending"
 STATUS_STORED = "stored"
 STATUS_DISCARDED = "discarded"
 STATUS_FAILED = "failed"
+#: conditional-fetch outcome (engine extension, no reference analog): the
+#: object's ETag matched the prior one — no body transferred, the
+#: previously indexed document stays current
+STATUS_UNCHANGED = "unchanged"
 
 DISCARD_URL_FILTER = "url_filter"
 DISCARD_MIMETYPE = "mimetype"

@@ -109,16 +109,25 @@ def ingest_listing(df: DataFrame, *, table: str, path: str,
 
 def recrawl_candidates(diff: DataFrame, *,
                        version_cols: Sequence[str] = DEFAULT_VERSION_COLS,
+                       keep_prev: Sequence[str] = (),
                        ) -> DataFrame:
     """Rows the next round must fetch: added + modified, with the
     CURRENT-side metadata restored to its unprefixed names so the result
-    feeds ``prepare_frontier`` / ``ingest_frontier`` directly."""
+    feeds ``prepare_frontier`` / ``ingest_frontier`` directly.
+
+    ``keep_prev``: version columns whose PREVIOUS-side value should ride
+    along as ``prev_<c>`` (null for added rows) — e.g.
+    ``keep_prev=("etag",)`` gives the fetch stage the prior ETag for
+    conditional GETs (``fetch_objects(if_none_match_col="prev_etag")``):
+    a modified candidate whose object reverted between the listing and the
+    GET then transfers no body."""
     keep = diff.filter(F.col("change").isin("added", "modified"))
     other = [c for c in diff.columns
              if not (c.startswith("cur_") or c.startswith("prev_"))]
     return keep.select(
         *other,
-        *[F.col(f"cur_{c}").alias(c) for c in version_cols])
+        *[F.col(f"cur_{c}").alias(c) for c in version_cols],
+        *[F.col(f"prev_{c}").alias(f"prev_{c}") for c in keep_prev])
 
 
 def change_rate_priority(history: DataFrame, *,

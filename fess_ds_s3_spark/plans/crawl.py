@@ -93,6 +93,8 @@ class RoundSummary:
     discarded: int
     failed: int
     new_links: int
+    #: conditional-fetch 304s (bodies not transferred; prior doc current)
+    unchanged: int = 0
 
 
 @dataclass
@@ -131,9 +133,12 @@ class CrawlDriver:
                  *, use_bloom: bool = True, use_salting: bool = True,
                  encode_urls: bool = True, per_round_cap: int | None = None,
                  object_store_root=None,
+                 conditional_fetch: bool = False,
                  robots_round_seconds: float = 60.0):
         if per_round_cap is not None and per_round_cap <= 0:
             raise ValueError("per_round_cap must be positive or None")
+        if conditional_fetch and object_store_root is None:
+            raise ValueError("conditional_fetch requires object_store_root")
         self.spark = spark
         self.cfg = cfg
         self.use_bloom = use_bloom
@@ -141,6 +146,11 @@ class CrawlDriver:
         self.encode_urls = encode_urls
         self.per_round_cap = per_round_cap
         self.object_store_root = object_store_root
+        # incremental-cycle candidates carry the prior ETag; rounds then
+        # GET conditionally and unchanged objects transfer no body
+        # (frontier rows without the column — seeds, links — read as null
+        # via mergeSchema and fetch unconditionally)
+        self.conditional_fetch = conditional_fetch
         self.robots_round_seconds = robots_round_seconds
         self.catalog = Catalog(spark, warehouse)
         self.frontier = self.catalog.table("frontier")
@@ -388,9 +398,14 @@ class CrawlDriver:
                     robots_rules, cfg,
                     round_seconds=self.robots_round_seconds))
 
+        # conditional GETs only once cycle candidates carry the prior ETag
+        # (legacy/seed-only frontiers lack the column → unconditional)
+        inm_col = ("prev_etag" if self.conditional_fetch
+                   and "prev_etag" in frontier_df.columns else None)
         result = round_plan.run_round(
             frontier_df, cfg, payloads=payloads,
             object_store_root=self.object_store_root,
+            if_none_match_col=inm_col,
             seen_exact=seen_df.select("canonical_url"),
             blooms=blooms, host_budgets=host_budgets,
             robots_rules=robots_rules,
@@ -478,7 +493,8 @@ class CrawlDriver:
             stored=int(metrics.get("stored") or 0),
             discarded=int(metrics.get("discarded") or 0),
             failed=int(metrics.get("failed") or 0),
-            new_links=new_links)
+            new_links=new_links,
+            unchanged=int(metrics.get("unchanged") or 0))
         self.rounds.append(
             self.spark.createDataFrame(
                 [(round_id, frontier_snap, seen_snap, indexed_snap,
@@ -582,14 +598,20 @@ class CrawlDriver:
             prev_cycle = self.cycles.read().agg(F.max("cycle")).first()[0]
             cycle_id = int(prev_cycle or 0) + 1
 
+        carry_prev = (self.conditional_fetch and "etag" in version_cols)
         if self.listing.exists():
             diff = inc.listing_diff(listing_df, self.listing.read(),
                                     version_cols=version_cols)
-            cand = inc.recrawl_candidates(diff, version_cols=version_cols)
+            cand = inc.recrawl_candidates(
+                diff, version_cols=version_cols,
+                keep_prev=("etag",) if carry_prev else ())
             tombs = inc.deletion_tombstones(diff)
             diff_all = diff.select("bucket", "key", "change")
         else:
             cand = listing_df.withColumn("change", F.lit("added"))
+            if carry_prev:
+                cand = cand.withColumn("prev_etag",
+                                       F.lit(None).cast("string"))
             tombs = listing_df.select("bucket", "key").limit(0)
             diff_all = listing_df.select(
                 "bucket", "key", F.lit("added").alias("change"))
@@ -623,13 +645,19 @@ class CrawlDriver:
 
         size_col = (F.col("size") if "size" in cand.columns
                     else F.lit(0))  # size absent iff not in version_cols
+        cand_cols = [
+            F.col("bucket"), F.col("key"),
+            size_col.cast("long").alias("size"),
+            priority.alias("priority"),
+            # deterministic discovery order: cycle sequence, not clock
+            F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time")]
+        if carry_prev:
+            # prior ETag rides the frontier row → conditional GETs
+            # (fetch_objects IfNoneMatch); null for added rows
+            cand_cols.append(F.col("prev_etag"))
         cand_rows = round_plan.prepare_frontier(
-            cand.select(
-                "bucket", "key", size_col.cast("long").alias("size"),
-                priority.alias("priority"),
-                # deterministic discovery order: cycle sequence, not clock
-                F.to_timestamp(F.lit("2020-01-01")).alias("discovery_time"),
-            ), self.cfg, encode_urls=self.encode_urls,
+            cand.select(*cand_cols), self.cfg,
+            encode_urls=self.encode_urls,
         ).withColumn("round", F.lit(start_round))
         obs_c = Observation()
         cand_rows = cand_rows.observe(obs_c, F.count(F.lit(1)).alias("n"))

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from fess_ds_s3_spark.operators.filters import (STATUS_DISCARDED,
-                                                STATUS_FAILED, STATUS_STORED)
+                                                STATUS_FAILED, STATUS_STORED,
+                                                STATUS_UNCHANGED)
 
 
 def observe_round(processed: DataFrame,
@@ -35,6 +36,8 @@ def observe_round(processed: DataFrame,
         .alias("discarded"),
         F.sum(F.when(F.col("status") == STATUS_FAILED, 1).otherwise(0))
         .alias("failed"),
+        F.sum(F.when(F.col("status") == STATUS_UNCHANGED, 1).otherwise(0))
+        .alias("unchanged"),
         F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("bytes_admitted"),
     )
     return observed, obs
@@ -72,6 +75,9 @@ def stats_events(processed: DataFrame, round_id: int) -> DataFrame:
     action = (
         F.when(F.col("status") == STATUS_STORED, F.lit("FINISHED"))
         .when(F.col("status") == STATUS_DISCARDED, F.lit("discard"))
+        # engine extension: conditional-fetch 304s are their own action
+        # (neither a finished index write nor an access failure)
+        .when(F.col("status") == STATUS_UNCHANGED, F.lit("unchanged"))
         .when(failed & (F.col("error_name") == ERROR_EXTRACT),
               F.lit("EXCEPTION"))
         .otherwise(F.lit("ACCESS_EXCEPTION")))

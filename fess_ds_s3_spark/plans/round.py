@@ -35,7 +35,9 @@ from fess_ds_s3_spark.operators.extract import (fetch_payloads,
                                                 route_extract,
                                                 route_fetch_miss)
 from fess_ds_s3_spark.operators.filters import (STATUS_DISCARDED,
-                                                STATUS_FAILED, STATUS_STORED,
+                                                STATUS_FAILED, STATUS_PENDING,
+                                                STATUS_STORED,
+                                                STATUS_UNCHANGED,
                                                 apply_max_size_guard,
                                                 apply_mimetype_filter,
                                                 apply_url_filter,
@@ -188,6 +190,7 @@ def process(admitted: DataFrame, cfg: CrawlConfig,
             robots_rules: DataFrame | None = None,
             robots_rules_bytes: int | None = None,
             object_store_root=None,
+            if_none_match_col: str | None = None,
             encode_urls: bool = True) -> DataFrame:
     """Processing half: filter chain + fetch + extract + project. Returns
     the wide documents rows with status routing columns.
@@ -209,6 +212,9 @@ def process(admitted: DataFrame, cfg: CrawlConfig,
     """
     if payloads is not None and object_store_root is not None:
         raise ValueError("pass either payloads or object_store_root, not both")
+    if if_none_match_col is not None and object_store_root is None:
+        raise ValueError("if_none_match_col requires object_store_root "
+                         "(conditional GETs run in the store fetch stage)")
     df = with_status_columns(admitted)
     df = apply_url_filter(df, cfg)
     if robots_rules is not None:
@@ -227,7 +233,20 @@ def process(admitted: DataFrame, cfg: CrawlConfig,
             # concurrency ≤ tasks × number_of_threads; documented divergence:
             # it is not a global cap on a wide cluster).
             df = fetch_objects(df, object_store_root,
-                               fetch_concurrency=cfg.number_of_threads)
+                               fetch_concurrency=cfg.number_of_threads,
+                               if_none_match_col=if_none_match_col)
+            if if_none_match_col is not None:
+                # conditional-fetch 304: the object did not change since
+                # the prior ETag — no body came back; the row is a
+                # first-class "unchanged" outcome (previously indexed doc
+                # stays current), invisible to every downstream
+                # pending-only routing stage
+                df = df.withColumn(
+                    "status",
+                    F.when(F.coalesce(F.col("_not_modified"), F.lit(False))
+                           & (F.col("status") == STATUS_PENDING),
+                           F.lit(STATUS_UNCHANGED))
+                    .otherwise(F.col("status")))
         # X1 fan-out: the reference's fixedThreadPool(number_of_threads)
         # parallelizes per-object fetch+extract; the analog is the partition
         # width of the Python extraction stage. The knob is a FLOOR, not a
@@ -264,6 +283,7 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
               robots_rules: DataFrame | None = None,
               robots_rules_bytes: int | None = None,
               object_store_root=None,
+              if_none_match_col: str | None = None,
               use_salting: bool = True,
               encode_urls: bool = True,
               global_cap: int | None = None,
@@ -303,6 +323,7 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
     processed = process(admitted, cfg, payloads, robots_rules=robots_rules,
                         robots_rules_bytes=robots_rules_bytes,
                         object_store_root=object_store_root,
+                        if_none_match_col=if_none_match_col,
                         encode_urls=encode_urls)
     return RoundResult(
         admitted=admitted,

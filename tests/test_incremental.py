@@ -304,6 +304,59 @@ class TestIncrementalCycles:
         drain()
         assert len(cycles) == 2
 
+    def test_conditional_fetch_skips_reverted_object(self, spark, tmp_path):
+        """conditional_fetch=True: cycle candidates carry the prior ETag,
+        the round GETs IfNoneMatch, and an object that REVERTED between
+        the listing and the fetch (the listing-to-fetch race) transfers no
+        body — the row lands as status 'unchanged', the previously indexed
+        document stays current, and stats record the 'unchanged' action."""
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        root = self._store(tmp_path)
+        cfg = CrawlConfig(region="r", default_host_budget=100,
+                          bloom_expected=1000, seen_partitions=2)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             object_store_root=root,
+                             conditional_fetch=True)
+
+        # cycle 1: full crawl; prev_etag is all-null → unconditional GETs
+        driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        s1 = driver.run(5)
+        assert sum(s.unchanged for s in s1) == 0
+        assert driver.read_live_index().count() == 5
+
+        # mutate a and c, snapshot the listing, then REVERT c before the
+        # round runs — the candidate's cur etag is stale, the prior etag
+        # matches again
+        with open(f"{root}/b/docs/a.txt", "w") as f:
+            f.write("ALPHA-CHANGED")
+        with open(f"{root}/b/docs/c.txt", "w") as f:
+            f.write("charlie-transient")
+        c2 = driver.begin_incremental_cycle(self._listing(spark, root, cfg))
+        assert c2.candidates == 2
+        with open(f"{root}/b/docs/c.txt", "w") as f:
+            f.write("charlie")
+        s2 = driver.run(5)
+        assert sum(s.unchanged for s in s2) == 1
+        assert sum(s.stored for s in s2) == 1
+        assert sum(s.failed for s in s2) == 0
+        live = {r.key: r.contents for r in driver.read_live_index()
+                .select("key", "contents").collect()}
+        # a re-indexed with new content; c kept its cycle-1 document
+        assert live["docs/a.txt"] == "ALPHA-CHANGED"
+        assert live["docs/c.txt"] == "charlie"
+        actions = {(r.stats_key, r.action)
+                   for r in driver.stats.read().collect()}
+        assert ("b@docs/c.txt", "unchanged") in actions
+        assert ("b@docs/a.txt", "FINISHED") in actions
+
+    def test_conditional_fetch_requires_store(self, spark, tmp_path):
+        from fess_ds_s3_spark.config import CrawlConfig
+        from fess_ds_s3_spark.plans.crawl import CrawlDriver
+        with pytest.raises(ValueError):
+            CrawlDriver(spark, str(tmp_path / "wh"),
+                        CrawlConfig(region="r"), conditional_fetch=True)
+
     def test_unchanged_cycle_is_a_noop(self, spark, tmp_path):
         from fess_ds_s3_spark.config import CrawlConfig
         from fess_ds_s3_spark.plans.crawl import CrawlDriver
