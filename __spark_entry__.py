@@ -934,12 +934,27 @@ def q_curate_interleaved(spark, sf_dir):
     return curate_interleaved(_synth_spans(d), max_media=(1, 3))
 
 
-def _synth_spans(d):
+def _synth_spans(d, *, pii=False, ref_key=None):
+    """Interleaved-span synthesis shared by the span-shaped gate entries:
+    text halved into two text spans (t1@0, t2@10), ``doc_id % 3`` media
+    spans wedged between (offsets 1, 2), the first media ref NULLed when
+    ``doc_id % 7 == 0``, and the array emitted OUT of offset order.
+    ``pii=True`` appends deterministic PII AFTER the half-split (email
+    into t1, IP + phone into t2) so per-span redaction is oracle-exact;
+    ``ref_key`` overrides the media-ref key (default ``doc_id`` — pass
+    e.g. ``doc_id % 50`` to make refs SHARED across documents)."""
     words = F.split(
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
     half = (F.size(words) / 2).cast("int")
     t1 = F.array_join(F.slice(words, F.lit(1), half), " ")
     t2 = F.array_join(F.slice(words, half + 1, F.size(words) - half), " ")
+    if pii:
+        t1 = F.concat(t1, F.lit(" contact user"),
+                      F.col("doc_id").cast("string"), F.lit("@example.com"))
+        t2 = F.concat(t2, F.lit(" ip 10.0."),
+                      (F.col("doc_id") % 256).cast("string"),
+                      F.lit(".9 tel +1 555 "),
+                      (F.lit(2000000) + F.col("doc_id")).cast("string"))
 
     def span(kind, text_col, ref_col, off):
         return F.struct(F.lit(kind).alias("kind"), text_col.alias("text"),
@@ -947,8 +962,10 @@ def _synth_spans(d):
                         F.lit(off).alias("offset"))
 
     none_s = F.lit(None).cast("string")
+    if ref_key is None:
+        ref_key = F.col("doc_id")
     ref = [F.concat(F.lit("https://media.example.com/"),
-                    F.col("doc_id").cast("string"),
+                    ref_key.cast("string"),
                     F.lit(f"-{j}.png")) for j in range(2)]
     ref[0] = F.when(F.col("doc_id") % 7 == 0, none_s).otherwise(ref[0])
     media_all = F.array(span("media", none_s, ref[0], 1),
@@ -958,6 +975,70 @@ def _synth_spans(d):
                      F.array(span("text", t2, none_s, 10),
                              span("text", t1, none_s, 0)))
     return d.select("doc_id", spans.alias("spans"))
+
+
+def q_scrub_interleaved(spark, sf_dir):
+    """Span-preserving PII scrub over the input_hint payload
+    (operators/spans.scrub_interleaved) — ORACLE-CHECKED on all three
+    guarantees at once: (1) the span-sequence invariant (kind, media_ref,
+    offset, order) survives the scrub bit-identically (``structure`` is
+    the offset-ordered ``kind:ref:offset`` join), (2) the scrubbed text
+    is exactly the per-span sequential email→IP→phone redaction chain
+    (md5 of the offset-ordered extraction), (3) the per-doc per-kind
+    counts match what was replaced. PII is injected per-half AFTER the
+    split (fixture rule), because per-SPAN semantics are the contract —
+    a shape straddling two spans is neither counted nor redacted, in
+    either engine. Shuffle-free: rewrite + counts are array folds."""
+    from fess_ds_s3_spark.operators import spans as spans_ops
+    from fess_ds_s3_spark.operators.extract import (spans_sorted,
+                                                    text_from_spans)
+    docs = _synth_spans(_docs(spark, sf_dir), pii=True)
+    out = spans_ops.scrub_interleaved(docs)
+    structure = F.array_join(
+        F.transform(spans_sorted("spans"),
+                    lambda s: F.concat_ws(
+                        ":", s["kind"],
+                        F.coalesce(s["media_ref"], F.lit("-")),
+                        s["offset"].cast("string"))), "|")
+    return out.select(
+        "doc_id", structure.alias("structure"),
+        F.md5(text_from_spans("spans")).alias("scrubbed_md5"),
+        F.col("pii_email").alias("n_email"),
+        F.col("pii_ipv4").alias("n_ipv4"),
+        F.col("pii_phone").alias("n_phone"))
+
+
+def q_pack_interleaved(spark, sf_dir):
+    """Media-aware sequence packing over interleaved docs
+    (operators/packing.pack_interleaved): per-doc cost = whitespace
+    tokens of each text span + a flat 64 tokens per media span (the
+    multimodal trainer's fixed per-image patch budget), then the same
+    fixed-stride integer-exact layout as ``pack_sequences`` (shard =
+    doc_id % 16, budget 512). The half-split preserves total text
+    tokens, so the oracle derives the cost as ws_tokens(text) +
+    (doc_id % 3) * 64 and replays the identical SUM OVER window. One
+    shuffle; the cost fold is map-side in the same stage."""
+    from fess_ds_s3_spark.operators.packing import pack_interleaved
+    docs = _synth_spans(_docs(spark, sf_dir))
+    return pack_interleaved(docs, budget=512, media_tokens=64,
+                            shard=(F.col("doc_id") % 16)).select(
+        "doc_id", "tokens", "shard", "seq_id", "seq_offset")
+
+
+def q_media_manifest(spark, sf_dir):
+    """Media fetch planning (operators/spans.media_manifest): distinct
+    media objects referenced by an interleaved corpus with reference
+    counts and the smallest referencing doc as representative — refs are
+    keyed by ``doc_id % 50`` so each object is shared by ~n/50 documents
+    (the 100 TB reality: one hero image, millions of pages) and the
+    fetch plan has ONE row per object. NULL (broken) refs are excluded
+    by extraction. One explode (the output's own cardinality) + one
+    map-side-combined shuffle; the oracle replays the synthesis rule as
+    a UNION ALL + GROUP BY."""
+    from fess_ds_s3_spark.operators.spans import media_manifest
+    docs = _synth_spans(_docs(spark, sf_dir),
+                        ref_key=F.col("doc_id") % 50)
+    return media_manifest(docs)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1123,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "fetch_conditional": q_fetch_conditional,
+        "scrub_interleaved": q_scrub_interleaved,
+        "pack_interleaved": q_pack_interleaved,
+        "media_manifest": q_media_manifest,
     }
 
 
@@ -2072,4 +2156,114 @@ def oracle_sql() -> dict[str, str]:
                         ELSE md5(d.text) END AS content_md5
             FROM frontier f JOIN documents d USING (doc_id)
             WHERE f.doc_id % 7 = 0""",
+        "scrub_interleaved": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ') AS words
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, words,
+                     CAST(floor(len(words) / 2) AS INT) AS half
+              FROM d
+            ), halves AS (
+              SELECT doc_id,
+                     array_to_string(words[1 : half], ' ')
+                       || ' contact user' || doc_id || '@example.com' AS t1,
+                     array_to_string(words[half + 1 : len(words)], ' ')
+                       || ' ip 10.0.' || (doc_id % 256)
+                       || '.9 tel +1 555 ' || (2000000 + doc_id) AS t2
+              FROM parts
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(t2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1a,
+                     regexp_replace(t2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t2a
+              FROM halves
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1a,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                     + len(regexp_extract_all(t2a,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_ipv4,
+                     regexp_replace(t1a, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                                    '<IP>', 'g') AS t1b,
+                     regexp_replace(t2a, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                                    '<IP>', 'g') AS t2b
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     CAST(len(regexp_extract_all(t1b,
+                       '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+                     + len(regexp_extract_all(t2b,
+                       '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+                       AS BIGINT) AS n_phone,
+                     regexp_replace(t1b, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                                    '<PHONE>', 'g') AS t1c,
+                     regexp_replace(t2b, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                                    '<PHONE>', 'g') AS t2c
+              FROM s2
+            )
+            SELECT s3.doc_id,
+                   'text:-:0'
+                   || CASE WHEN s3.doc_id % 3 >= 1 THEN '|media:'
+                             || CASE WHEN s3.doc_id % 7 = 0 THEN '-'
+                                ELSE 'https://media.example.com/'
+                                  || s3.doc_id || '-0.png' END || ':1'
+                      ELSE '' END
+                   || CASE WHEN s3.doc_id % 3 >= 2 THEN '|media:'
+                             || 'https://media.example.com/'
+                             || s3.doc_id || '-1.png' || ':2'
+                      ELSE '' END
+                   || '|text:-:10' AS structure,
+                   md5(t1c || ' ' || t2c) AS scrubbed_md5,
+                   n_email, n_ipv4, n_phone
+            FROM s3""",
+        "pack_interleaved": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS BIGINT)
+                + (doc_id % 3) * 64 AS tokens,
+                CAST(doc_id % 16 AS INTEGER) AS shard
+              FROM documents
+            ),
+            c AS (
+              SELECT *, COALESCE(SUM(tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum
+              FROM t
+            )
+            SELECT doc_id, tokens, shard,
+                   CAST(cum // 512 AS BIGINT) AS seq_id,
+                   CAST(cum % 512 AS BIGINT) AS seq_offset
+            FROM c""",
+        "media_manifest": """
+            WITH refs AS (
+              SELECT doc_id,
+                     'https://media.example.com/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '-0.png'
+                       AS media_ref
+              FROM documents WHERE doc_id % 3 >= 1 AND doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id,
+                     'https://media.example.com/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '-1.png'
+                       AS media_ref
+              FROM documents WHERE doc_id % 3 >= 2
+            )
+            SELECT media_ref, CAST(count(*) AS BIGINT) AS ref_count,
+                   min(doc_id) AS first_doc
+            FROM refs GROUP BY media_ref""",
     }

@@ -38,6 +38,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fess_ds_s3_spark.functions.text import token_count_ws
+
 
 def pack_sequences(df: DataFrame, tokens_col: str,
                    id_col: str = "doc_id", *,
@@ -81,3 +83,40 @@ def pack_sequences(df: DataFrame, tokens_col: str,
     off = F.pmod(cum_before, F.lit(budget)).cast("long")
     seq = ((cum_before - off) / F.lit(budget)).cast("long")
     return (out.withColumn(out_seq, seq).withColumn(out_offset, off))
+
+
+def interleaved_token_cost(spans: Column | str = "spans", *,
+                           media_tokens: int = 64) -> Column:
+    """Training-token cost of an interleaved document: whitespace tokens
+    of every text span plus a flat ``media_tokens`` per media span (the
+    stand-in for the fixed patch/frame budget a multimodal trainer
+    charges per image — e.g. a ViT tokenizer emitting a constant token
+    count per tile). One per-row array fold, no explode, no shuffle.
+
+    NULL-text text spans cost 0; media spans cost ``media_tokens``
+    regardless of their (NULL) text."""
+    def step(acc: Column, s: Column) -> Column:
+        text_cost = F.coalesce(token_count_ws(s["text"]), F.lit(0))
+        return acc + F.when(s["kind"] == F.lit("media"),
+                            F.lit(media_tokens)).otherwise(text_cost)
+    spans = F.col(spans) if isinstance(spans, str) else spans
+    return F.aggregate(spans, F.lit(0).cast("long"), step)
+
+
+def pack_interleaved(docs: DataFrame, spans: str = "spans",
+                     id_col: str = "doc_id", *,
+                     budget: int, media_tokens: int = 64,
+                     shards: int = 1024,
+                     shard: Column | None = None,
+                     within: Sequence[str] = (),
+                     out_tokens: str = "tokens") -> DataFrame:
+    """:func:`pack_sequences` over interleaved text + media documents:
+    the per-doc cost is :func:`interleaved_token_cost` (text tokens +
+    ``media_tokens`` per media span), appended as ``out_tokens``; layout
+    semantics (fixed stride, shard-scoped, ``within``-scoped) are
+    exactly those of :func:`pack_sequences`. Same single shuffle on the
+    shard key — the cost column is computed map-side in the same stage."""
+    costed = docs.withColumn(
+        out_tokens, interleaved_token_cost(spans, media_tokens=media_tokens))
+    return pack_sequences(costed, out_tokens, id_col, budget=budget,
+                          shards=shards, shard=shard, within=within)
