@@ -552,9 +552,10 @@ class TestFetchConcurrencyWiring:
         captured = {}
         orig = os_mod.fetch_objects
 
-        def spy(admitted, root, *, fetch_concurrency=1):
+        def spy(admitted, root, *, fetch_concurrency=1, **kw):
             captured["fetch_concurrency"] = fetch_concurrency
-            return orig(admitted, root, fetch_concurrency=fetch_concurrency)
+            return orig(admitted, root, fetch_concurrency=fetch_concurrency,
+                        **kw)
 
         monkeypatch.setattr(os_mod, "fetch_objects", spy)
         cfg = CrawlConfig(region=REGION, number_of_threads=7)
