@@ -551,6 +551,53 @@ class CrawlDriver:
         return self.frontier.compact(partitions,
                                      {"round": self.last_round()})
 
+    def vacuum(self, keep_last: int = 2) -> dict[str, dict[str, int]]:
+        """Bound a long crawl's on-disk metadata + small-file growth:
+        expire old snapshots (SnapshotTable.expire_snapshots) of every
+        STATE table, scoped to what each table's committed read path can
+        still touch:
+
+        - cumulative-read tables (frontier, listing, schedule, robots,
+          seen_bloom, seen_checkpoint) keep their current snapshot +
+          ``keep_last`` entries; on append-only tables this reclaims
+          nothing until the matching ``compact_*`` resets the dir list —
+          the Iceberg idiom (compact makes unreferenced, expire deletes).
+        - the ``seen`` table is read ONLY via ledgered deltas
+          (committed_seen), so it expires in delta mode, protecting every
+          ledgered seen-snapshot id newer than the seen checkpoint (and
+          ALL of them when no checkpoint exists). Rounds the checkpoint
+          folds in no longer need their delta dirs. With legacy
+          (pre-snapshot-column) ledger rows present, the seen table is
+          skipped entirely — their rows are only reachable cumulatively.
+
+        SINK tables (indexed, failures, stats, lineage) and the ledgers
+        (rounds, cycles, tombstones) are never touched: their deltas ARE
+        the crawl's output/commit history; trimming them is a data-
+        retention decision, not hygiene. Call alongside
+        ``compact_frontier()`` / ``compact_seen()`` every O(10-100)
+        rounds; crash-safe at any point between rounds (manifest commits
+        before any file deletion)."""
+        out: dict[str, dict[str, int]] = {}
+        for name, table in (("frontier", self.frontier),
+                            ("listing", self.listing),
+                            ("schedule", self.schedule),
+                            ("robots", self.robots),
+                            ("seen_bloom", self.seen_bloom),
+                            ("seen_checkpoint", self.seen_checkpoint)):
+            out[name] = table.expire_snapshots(keep_last=keep_last)
+        ckpt_round = -1
+        if self.seen_checkpoint.exists():
+            ckpt_round = int(self.seen_checkpoint.metadata()
+                             .get("through_round", -1))
+        ids, legacy_rounds = self._ledgered("seen_snapshot",
+                                            after_round=ckpt_round)
+        if legacy_rounds:
+            out["seen"] = {"expired": 0, "deleted_dirs": 0}
+        else:
+            out["seen"] = self.seen.expire_snapshots(
+                keep_last=keep_last, protect_ids=ids, reference="delta")
+        return out
+
     # ----- incremental re-crawl cycles ---------------------------------------
 
     def cycle_start(self) -> int:

@@ -30,10 +30,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -173,6 +174,83 @@ class SnapshotTable:
             df = df.repartition(partitions)
         return self.overwrite(df, {"kind": "compaction",
                                    **(metadata or {})})
+
+    def expire_snapshots(self, *, keep_last: int = 1,
+                         protect_ids: Iterable[int] = (),
+                         reference: str = "cumulative") -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` analog: bound manifest + data-file
+        growth on long crawls. Retains the CURRENT snapshot, the last
+        ``keep_last`` manifest entries, and every id in ``protect_ids``
+        (snapshot ids a ledger still references); every other manifest
+        entry is expired, and data directories no retained snapshot
+        references are deleted.
+
+        ``reference`` picks what "references" means, matching the
+        table's read path:
+
+        - ``"cumulative"`` (default) — a retained snapshot references its
+          full ``data_dirs`` list (tables read via :meth:`read`, e.g. the
+          frontier). On an append-only table this deletes nothing until a
+          :meth:`compact` resets the current snapshot's dir list — the
+          Iceberg idiom: compaction makes files unreferenced, expiration
+          reclaims them.
+        - ``"delta"`` — a retained snapshot references only its OWN delta
+          dir (tables read exclusively via :meth:`read_deltas` over
+          ledgered ids, e.g. the seen table behind a checkpoint).
+          Retained entries' ``data_dirs`` are rewritten to drop deleted
+          dirs, so a cumulative :meth:`read` stays well-defined (it
+          returns the retained deltas' rows only).
+
+        Crash-safe ordering: the pruned manifest commits FIRST
+        (atomically), then unreferenced dirs are deleted — a crash in
+        between leaves harmless orphan directories, never a manifest
+        entry pointing at deleted data. Only dirs owned by EXPIRED
+        entries are deletion candidates, so an in-flight append's
+        still-uncommitted dir can never be touched.
+
+        Returns ``{"expired": n_entries, "deleted_dirs": n_dirs}``.
+        """
+        if reference not in ("cumulative", "delta"):
+            raise ValueError(f"unknown reference mode {reference!r}")
+        manifest = self._load()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            return {"expired": 0, "deleted_dirs": 0}
+        keep = {int(i) for i in protect_ids}
+        if manifest["current"] is not None:
+            keep.add(manifest["current"])
+        if keep_last > 0:
+            keep.update(s["snapshot_id"] for s in snaps[-keep_last:])
+        retained = [s for s in snaps if s["snapshot_id"] in keep]
+        expired = [s for s in snaps if s["snapshot_id"] not in keep]
+        if not expired:
+            return {"expired": 0, "deleted_dirs": 0}
+        referenced: set[str] = set()
+        for s in retained:
+            if reference == "cumulative":
+                referenced.update(s["data_dirs"])
+            d = s.get("delta_dir") or (s["data_dirs"][-1]
+                                       if s["data_dirs"] else None)
+            if d:
+                referenced.add(d)
+        if reference == "delta":
+            for s in retained:
+                s["data_dirs"] = [d for d in s["data_dirs"]
+                                  if d in referenced]
+        manifest["snapshots"] = retained
+        self._commit(manifest)
+        candidates: set[str] = set()
+        for s in expired:
+            candidates.update(s["data_dirs"])
+            if s.get("delta_dir"):
+                candidates.add(s["delta_dir"])
+        deleted = 0
+        for rel in sorted(candidates - referenced):
+            path = os.path.join(self.root, rel)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                deleted += 1
+        return {"expired": len(expired), "deleted_dirs": deleted}
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         snap = self._snapshot(self._load(), snapshot_id)

@@ -372,3 +372,58 @@ class TestSeenCheckpoint:
         seen = {r.canonical_url for r in d.committed_seen().collect()}
         assert "https://orphan.example/x" not in seen
         assert len(seen) == 5  # budget 5, round 0
+
+
+class TestVacuum:
+    def _count_dirs(self, driver, name):
+        import os
+        data = os.path.join(driver.catalog.table(name).root, "data")
+        if not os.path.isdir(data):
+            return 0
+        return sum(os.path.isdir(os.path.join(data, d))
+                   for d in os.listdir(data))
+
+    def test_vacuum_preserves_committed_reads_and_resume(self, spark, cfg,
+                                                         tmp_path):
+        """compact + vacuum between rounds must not change any committed
+        read, and the crawl must keep running afterwards."""
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 120, n_hosts=6, seed=3))
+        driver.run(n_rounds=3, stop_when_empty=False)
+
+        seen_before = _admission_set(driver)
+        indexed_before = {(r.url, r.round) for r in
+                          driver.read_committed("indexed")
+                          .select("url", "round").collect()}
+        bloom_dirs_before = self._count_dirs(driver, "seen_bloom")
+
+        driver.compact_frontier()
+        driver.compact_seen()
+        stats = driver.vacuum(keep_last=1)
+        # something was actually reclaimed: the per-round bloom overwrites
+        assert stats["seen_bloom"]["deleted_dirs"] > 0
+        assert self._count_dirs(driver, "seen_bloom") < bloom_dirs_before
+        # seen deltas folded into the checkpoint were reclaimed
+        assert stats["seen"]["expired"] > 0
+
+        assert _admission_set(driver) == seen_before
+        indexed_after = {(r.url, r.round) for r in
+                         driver.read_committed("indexed")
+                         .select("url", "round").collect()}
+        assert indexed_after == indexed_before
+
+        # the crawl continues: later rounds never re-admit vacuumed state
+        more = driver.run(n_rounds=20)
+        assert more[-1].admitted == 0
+        assert len(_admission_set(driver)) == 120
+
+    def test_vacuum_without_checkpoint_protects_all_ledgered_deltas(
+            self, spark, cfg, tmp_path):
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        driver.seed(synthetic.synth_frontier(spark, 60, n_hosts=4, seed=7))
+        driver.run(n_rounds=2, stop_when_empty=False)
+        seen_before = _admission_set(driver)
+        stats = driver.vacuum(keep_last=1)
+        # no checkpoint: every ledgered seen delta is protected
+        assert stats["seen"]["deleted_dirs"] == 0
+        assert _admission_set(driver) == seen_before
