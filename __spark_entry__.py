@@ -524,6 +524,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate CLUSTERING: n-gram-Jaccard pair edges → connected
+    components via alternating large-star/small-star
+    (operators/clustering.py, Kiveris et al. SoCC'14 — O(log n) rounds,
+    all integer min-id math). One row per doc in the subset:
+    (doc_id, component = min doc_id transitively reachable through the
+    pair graph; singletons map to themselves). Oracle: the same pair CTE
+    as `ngram_jaccard` + a recursive transitive closure."""
+    from fess_ds_s3_spark.operators import clustering
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
+    return clustering.components(pairs.select("a", "b"), d)
+
+
 # --- rows-only entries (non-SQL-expressible; pinned in tests/ instead) ----
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1179,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "cosine_topk": q_cosine_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_cluster": q_dedup_cluster,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1529,6 +1544,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE i.inter * 1.0 >= (sa.n_sh + sb.n_sh - i.inter) * 0.02""",
+        "dedup_cluster": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' ') AS words
+              FROM documents WHERE doc_id % 10 = 0),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM docs,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       n -> array_to_string(words[n : n + 2], ' ')))
+                   t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.a, i.b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a
+              JOIN sizes sb ON sb.doc_id = i.b
+              WHERE i.inter * 1.0
+                    >= (sa.n_sh + sb.n_sh - i.inter) * 0.02),
+            und AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM docs
+              UNION
+              SELECT und.u AS id, reach.r
+              FROM und JOIN reach ON und.v = reach.id)
+            SELECT id AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY 1""",
         "rolling_fingerprint": r"""
             SELECT doc_id,
                    list_reduce(

@@ -54,6 +54,7 @@ def curate_corpus(docs: DataFrame, *,
                   min_tokens: int = 20,
                   min_stopword: tuple[int, int] = (1, 50),
                   near_dup_threshold: float | None = None,
+                  near_dup_keep: str = "greedy",
                   sample: tuple[int, int] | None = None,
                   sample_seed: str = "",
                   max_per_source: int | None = None,
@@ -81,6 +82,17 @@ def curate_corpus(docs: DataFrame, *,
     set is the distinct ``b`` side; every cluster keeps at least its
     minimum). Extra cost: the signature/band shuffles run on the
     survivor set only.
+
+    ``near_dup_keep`` picks the drop rule applied to those pairs:
+
+    - ``"greedy"`` (default): the b-side drop above — one pass, no
+      iteration, but chains over-drop (A~B, B~C with A≁C drops B AND C;
+      dropping B already breaks the A–C link).
+    - ``"cluster"``: connected-components keep-one-per-cluster
+      (operators/clustering.keep_canonical) — every duplicate component
+      keeps exactly its minimum id, chains included. Costs O(log n)
+      alternating-star rounds over the pair set (tiny next to the
+      corpus).
 
     ``sample=(num, den)`` keeps a deterministic ``num/den`` subsample of
     the input, keyed on ``md5(id_col || sample_seed)`` — applied FIRST so
@@ -122,15 +134,22 @@ def curate_corpus(docs: DataFrame, *,
                  .select("fp", *[f"_w.{f}" for f in winner_fields],
                          "dup_count")
                  .select(*out_cols))
+    if near_dup_keep not in ("greedy", "cluster"):
+        raise ValueError("near_dup_keep must be 'greedy' or 'cluster'")
     if near_dup_threshold is not None:
         from fess_ds_s3_spark.operators.dedup import dedup_minhash_lsh
         survivor_docs = survivors.select(id_col).join(
             docs.select(id_col, text), on=id_col, how="inner")
         pairs = dedup_minhash_lsh(survivor_docs, text, id_col,
                                   threshold=near_dup_threshold)
-        drop = pairs.select(F.col("b").alias(id_col)).distinct()
-        survivors = (survivors.join(drop, on=id_col, how="left_anti")
-                     .select(*out_cols))
+        if near_dup_keep == "cluster":
+            from fess_ds_s3_spark.operators.clustering import keep_canonical
+            survivors = keep_canonical(survivors, pairs, id_col) \
+                .select(*out_cols)
+        else:
+            drop = pairs.select(F.col("b").alias(id_col)).distinct()
+            survivors = (survivors.join(drop, on=id_col, how="left_anti")
+                         .select(*out_cols))
     if max_per_source is not None:
         survivors = top_n_per_group(
             survivors, [source_col], max_per_source,

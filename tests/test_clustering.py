@@ -1,0 +1,106 @@
+"""Connected-component duplicate clustering (operators/clustering.py).
+
+Reference oracle: a plain Python union-find run over the same edge list —
+component = min node id, exactly what alternating large-star/small-star
+must converge to.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.operators import clustering
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min reachable id
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for r, members in comp.items():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = clustering.alternating_cc(df)
+    return {r.node: r.component for r in got.collect()}
+
+
+class TestAlternatingCC:
+    def test_single_edge(self, spark):
+        assert _cc_spark(spark, [(2, 1)]) == {1: 1, 2: 1}
+
+    def test_chain_collapses_to_min(self, spark):
+        # path 0-1-2-...-9: one component, min 0 — O(log n) rounds must
+        # reach across the full diameter
+        edges = [(i, i + 1) for i in range(9)]
+        got = _cc_spark(spark, edges)
+        assert got == {i: 0 for i in range(10)}
+
+    def test_two_components_and_self_loops(self, spark):
+        edges = [(1, 2), (2, 3), (7, 7), (8, 9), (9, 10), (2, 1)]
+        got = _cc_spark(spark, edges)
+        # self-loop (7,7) contributes no component row
+        assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8, 10: 8}
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "u long, v long")
+        assert clustering.alternating_cc(df).collect() == []
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_graph_matches_union_find(self, spark, seed):
+        rng = random.Random(seed)
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = _union_find(nodes, edges)
+        assert _cc_spark(spark, edges) == want
+
+    def test_max_rounds_exceeded_raises(self, spark):
+        edges = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                      "u long, v long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            clustering.alternating_cc(edges, max_rounds=1)
+
+
+class TestComponents:
+    def test_singletons_map_to_self(self, spark):
+        nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "a long, b long")
+        got = {r.doc_id: r.component
+               for r in clustering.components(pairs, nodes).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+class TestKeepCanonical:
+    def test_chain_keeps_exactly_one(self, spark):
+        # A~B, B~C, A!~C: greedy b-side drop would kill B AND C;
+        # cluster keep retains the component min only
+        docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"),
+                                      (9, "z")], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        kept = sorted(r.doc_id for r in
+                      clustering.keep_canonical(docs, pairs).collect())
+        assert kept == [1, 9]

@@ -72,6 +72,16 @@ class TestCurateCorpus:
         # schema identical across tiers
         assert near.columns == base.columns
 
+    def test_near_dup_cluster_keep(self, spark, corpus):
+        # cluster keep: same outcome as greedy on this pair set (no
+        # chains), identical schema, bad mode rejected
+        near = curate_corpus(corpus, near_dup_threshold=0.5,
+                             near_dup_keep="cluster")
+        assert {r.doc_id for r in near.collect()} == {0}
+        with pytest.raises(ValueError, match="near_dup_keep"):
+            curate_corpus(corpus, near_dup_threshold=0.5,
+                          near_dup_keep="bogus")
+
 
 @pytest.fixture(scope="module")
 def interleaved(spark):
