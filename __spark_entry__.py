@@ -524,6 +524,31 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): per-user
+    sessions over the events table, 1800 s strict-greater gap, event-id
+    tie-break, microseconds via tz-independent TIMESTAMP_NTZ arithmetic
+    from a fixed naive base — integer columns only."""
+    from fess_ds_s3_spark.operators import sessions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.session_stats(ev, base_ts="2024-01-01 00:00:00")
+
+
+def q_host_authority(spark, sf_dir):
+    """Host-graph authority (operators/graph.py): fixed-point integer
+    PageRank (damping 7/8, scale 10^12, 3 iterations) over a
+    deterministic host link graph — each document links its source host
+    to host 'src'||((doc_id*7) % 20). Integer div/sum only, so ranks are
+    bit-exact at any parallelism and against the unrolled SQL oracle."""
+    from fess_ds_s3_spark.operators import graph
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"),
+                 ((F.col("doc_id") * 7) % 20).cast("string")).alias("dst"))
+    return graph.host_authority(edges, iterations=3)
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate CLUSTERING: n-gram-Jaccard pair edges → connected
     components via alternating large-star/small-star
@@ -1194,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_cluster": q_dedup_cluster,
+        "host_authority": q_host_authority,
+        "sessionize": q_sessionize,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1579,6 +1606,66 @@ def oracle_sql() -> dict[str, str]:
               FROM und JOIN reach ON und.v = reach.id)
             SELECT id AS doc_id, MIN(r) AS component
             FROM reach GROUP BY 1""",
+        "sessionize": r"""
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+              FROM events),
+            flags AS (
+              SELECT user_id, event_id, us,
+                     CASE WHEN LAG(us) OVER w IS NULL
+                            OR us - LAG(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            sess AS (
+              SELECT user_id, us,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flags)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us
+            FROM sess GROUP BY 1, 2""",
+        "host_authority": r"""
+            WITH e AS (
+              SELECT DISTINCT source AS src,
+                     'src' || CAST((doc_id * 7) % 20 AS VARCHAR) AS dst
+              FROM documents),
+            nodes AS (SELECT src AS host FROM e
+                      UNION SELECT dst FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS rank
+                   FROM nodes),
+            inc1 AS (SELECT e.dst AS host, SUM(r.rank // d.deg) AS inc
+                     FROM e JOIN deg d ON e.src = d.src
+                            JOIN r0 r ON r.host = e.src
+                     GROUP BY 1),
+            r1 AS (SELECT n.host,
+                          CAST(125000000000
+                               + (7 * COALESCE(i.inc, 0)) // 8 AS BIGINT)
+                              AS rank
+                   FROM nodes n LEFT JOIN inc1 i ON i.host = n.host),
+            inc2 AS (SELECT e.dst AS host, SUM(r.rank // d.deg) AS inc
+                     FROM e JOIN deg d ON e.src = d.src
+                            JOIN r1 r ON r.host = e.src
+                     GROUP BY 1),
+            r2 AS (SELECT n.host,
+                          CAST(125000000000
+                               + (7 * COALESCE(i.inc, 0)) // 8 AS BIGINT)
+                              AS rank
+                   FROM nodes n LEFT JOIN inc2 i ON i.host = n.host),
+            inc3 AS (SELECT e.dst AS host, SUM(r.rank // d.deg) AS inc
+                     FROM e JOIN deg d ON e.src = d.src
+                            JOIN r2 r ON r.host = e.src
+                     GROUP BY 1),
+            r3 AS (SELECT n.host,
+                          CAST(125000000000
+                               + (7 * COALESCE(i.inc, 0)) // 8 AS BIGINT)
+                              AS rank
+                   FROM nodes n LEFT JOIN inc3 i ON i.host = n.host)
+            SELECT host, rank FROM r3""",
         "rolling_fingerprint": r"""
             SELECT doc_id,
                    list_reduce(

@@ -1,0 +1,97 @@
+"""Host-graph authority scoring for crawl prioritization.
+
+A web-scale crawler orders its frontier by more than politeness: hosts
+that many other hosts link to should be crawled earlier (OPIC / PageRank
+-style frontier scheduling, Abiteboul et al. WWW'03; Page et al. 1999).
+This module computes a PageRank-shaped authority score over the host
+link graph with **fixed-point integer arithmetic** so the result is
+bit-exact and reproducible: floating-point PageRank depends on summation
+order, which differs run-to-run under Spark's partial aggregation — a
+crawl admission order must not. All math is 64-bit integer (`div`,
+`sum`, `*`), so the scores are oracle-checkable and identical at any
+parallelism.
+
+Semantics (per iteration, damping d = num/den, scale S):
+
+    contrib(u→v) = rank(u) div out_degree(u)
+    rank'(v)     = (S div den)·(den−num) + (num · Σ contrib) div den
+
+i.e. standard PageRank with truncating division instead of real
+division. Dangling hosts (no out-links) keep receiving the base term;
+their mass is dropped, not redistributed — documented divergence from
+the textbook formulation, standard in crawl schedulers where relative
+order is what matters.
+
+Scale notes (10^9 hosts, 10^11 edges):
+- per iteration: one equi-join of ranks to edges on ``src`` + one
+  groupBy ``dst`` — both map-side-combinable; AQE handles hub skew.
+- the edge set (with out-degrees) is computed once and persisted;
+  iterations reuse it. The rank frame stays (host, rank) — narrow.
+- iterations build ONE lazy plan (no per-iteration action); for large
+  ``iterations`` pass ``materialize_every`` to persist intermediate
+  ranks and keep plan depth bounded.
+- overflow bound: ``num · n_hosts · scale < 2^63`` (total mass never
+  exceeds n·S and only ever shrinks). The constructor enforces it when
+  ``n_hosts`` is supplied; pick scale = 10^12 up to ~10^6 hosts,
+  10^9 above.
+
+Reference scope: no analog in fess-ds-s3 (north-rule addition).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["host_authority"]
+
+
+def host_authority(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst", iterations: int = 3,
+                   damping: tuple[int, int] = (7, 8),
+                   scale: int = 10 ** 12,
+                   n_hosts: int | None = None,
+                   materialize_every: int | None = None) -> DataFrame:
+    """Fixed-point integer PageRank over a host link graph.
+
+    ``edges``: (src, dst) host pairs — deduplicated internally;
+    self-loops participate like any edge. Returns ``(host, rank)`` for
+    every host appearing as src or dst, ``rank`` a BIGINT on the
+    ``scale`` fixed-point grid (initial rank = scale).
+
+    ``damping=(num, den)``: d = num/den. ``scale`` must be divisible by
+    ``den`` so the base term (1−d)·S is exact.
+
+    ``materialize_every``: persist the rank frame every K iterations
+    (caps lazy-plan depth on long runs); None = one fully lazy plan.
+    """
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    if scale % den != 0:
+        raise ValueError(f"scale must be divisible by den={den}")
+    if n_hosts is not None and num * n_hosts * scale >= 2 ** 63:
+        raise ValueError(
+            f"num*n_hosts*scale = {num * n_hosts * scale} overflows "
+            "int64 — lower scale")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(deg, "src").persist()
+    base = (scale // den) * (den - num)
+    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    for it in range(iterations):
+        contrib = (e.join(ranks, e["src"] == ranks["host"])
+                   .select(F.col("dst").alias("host"),
+                           F.expr("rank div deg").alias("c")))
+        incoming = contrib.groupBy("host").agg(F.sum("c").alias("inc"))
+        ranks = (nodes.join(incoming, "host", "left")
+                 .select("host",
+                         (F.lit(base)
+                          + F.expr(f"({num} * coalesce(inc, 0L)) "
+                                   f"div {den}"))
+                         .cast("long").alias("rank")))
+        if materialize_every and (it + 1) % materialize_every == 0:
+            ranks = ranks.persist()
+    return ranks
