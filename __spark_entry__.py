@@ -524,6 +524,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment (plans/export.py):
+    shard = floor(hex8(md5(doc_id||seed)) * 8 / 16^8) — content-keyed,
+    partitioning-invariant; the oracle re-parses the md5 hex digit by
+    digit (16^8 = 2^32 makes the bucketing an exact integer shift)."""
+    from fess_ds_s3_spark.plans import export
+    d = _docs(spark, sf_dir).select("doc_id")
+    return export.assign_shards(d, n_shards=8, seed="export")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): per-user
     sessions over the events table, 1800 s strict-greater gap, event-id
@@ -1221,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "host_authority": q_host_authority,
         "sessionize": q_sessionize,
+        "shard_assign": q_shard_assign,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1606,6 +1617,19 @@ def oracle_sql() -> dict[str, str]:
               FROM und JOIN reach ON und.v = reach.id)
             SELECT id AS doc_id, MIN(r) AS component
             FROM reach GROUP BY 1""",
+        "shard_assign": r"""
+            SELECT doc_id,
+                   CAST((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           string_split(substr(md5(
+                               CAST(doc_id AS VARCHAR) || 'export'),
+                               1, 8), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1
+                                     AS BIGINT))),
+                       (a, c) -> a * 16 + c) * 8) // 4294967296
+                       AS INT) AS shard
+            FROM documents""",
         "sessionize": r"""
             WITH ev AS (
               SELECT user_id, event_id,

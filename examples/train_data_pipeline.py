@@ -123,8 +123,16 @@ def main() -> None:
     print(json.dumps([r.asDict() for r in summary.collect()],
                      default=int))
     if args.out:
-        (packed.repartition("shard").write.mode("overwrite")
-         .partitionBy("split").parquet(args.out))
+        # 6. checksummed delivery: content-keyed shards + a manifest the
+        # training job verifies before trusting the export
+        from fess_ds_s3_spark.plans.export import (
+            verify_training_shards, write_training_shards)
+        manifest = write_training_shards(
+            packed, args.out, n_shards=args.shards, key="doc_id",
+            seed="export-v1")
+        check = verify_training_shards(spark, args.out)
+        print(json.dumps({"export_rows": manifest["total_rows"],
+                          "export_ok": check["ok"]}))
     spark.stop()
 
 
