@@ -27,4 +27,4 @@ from fess_ds_s3_spark.session import (build_session, open_client,
 
 __all__ = ["CrawlConfig", "ConfigError", "build_session", "open_client",
            "validate_client_params"]
-__version__ = "0.4.3"
+__version__ = "0.4.4"

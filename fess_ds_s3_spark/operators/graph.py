@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["host_authority"]
+__all__ = ["host_authority", "authority_priority"]
 
 
 def host_authority(edges: DataFrame, *, src: str = "src",
@@ -95,3 +95,21 @@ def host_authority(edges: DataFrame, *, src: str = "src",
         if materialize_every and (it + 1) % materialize_every == 0:
             ranks = ranks.persist()
     return ranks
+
+
+def authority_priority(frontier: DataFrame, ranks: DataFrame, *,
+                       host_col: str = "host",
+                       out_col: str = "priority") -> DataFrame:
+    """Feed authority into the politeness ranking: the canonical crawl
+    order is ``(priority ASC, ...)`` (operators/politeness.py), so
+    ``priority = -rank`` — higher-authority hosts admit first. Hosts
+    absent from the link graph get priority 0 (rank 0): crawled after
+    every ranked host. The ranks side is one row per host — small next
+    to the frontier; left to the optimizer/AQE to broadcast (it rides
+    the normal auto-broadcast threshold, same as host budgets)."""
+    r = ranks.select(F.col("host").alias(host_col),
+                     F.col("rank").alias("_auth_rank"))
+    return (frontier.join(r, host_col, "left")
+            .withColumn(out_col,
+                        -F.coalesce(F.col("_auth_rank"), F.lit(0)))
+            .drop("_auth_rank"))

@@ -80,6 +80,18 @@ class TestHostAuthority:
         r16 = {r.host: r.rank for r in graph.host_authority(df16).collect()}
         assert r1 == r16
 
+    def test_authority_priority_orders_admission(self, spark):
+        # hub gets the most negative priority; unknown host trails at 0
+        edges = [("a", "h"), ("b", "h"), ("h", "a")]
+        ranks = graph.host_authority(
+            spark.createDataFrame(edges, "src string, dst string"))
+        frontier = spark.createDataFrame(
+            [("h", "u1"), ("a", "u2"), ("zz", "u3")],
+            "host string, url string")
+        got = {r.host: r.priority
+               for r in graph.authority_priority(frontier, ranks).collect()}
+        assert got["h"] < got["a"] < got["zz"] == 0
+
     def test_validation(self, spark):
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError, match="divisible"):
