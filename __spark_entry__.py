@@ -524,6 +524,38 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.02)
 
 
+def q_html_text(spark, sf_dir):
+    """HTML text extraction (functions/text.html_to_text): documents
+    wrapped in a deterministic HTML envelope (style + script + comment
+    + entity + tags), then the regexp chain recovers the visible text.
+    Oracle replays HTML_STRIP_RULES verbatim (Java-regex ∩ RE2)."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>var x=\"<p>hidden</p>\";</script></head>"
+              "<body><!-- note --><p>"),
+        F.col("text"),
+        F.lit("</p> &amp; <a href=\"https://"), F.col("source"),
+        F.lit(".example/x\">link</a></body></html>"))
+    return d.select("doc_id", T.html_to_text(html).alias("clean"))
+
+
+def q_link_graph(spark, sf_dir):
+    """Link harvesting → host graph (operators/graph.link_host_edges):
+    each doc becomes a page at its frontier URL whose body links one
+    absolute target host ('src'||(doc_id*3)%20) and one relative path
+    (dropped). Output: distinct (src, dst) host edges."""
+    from fess_ds_s3_spark.operators import graph
+    f = _frontier(spark, sf_dir)
+    pages = f.select(
+        "url",
+        F.concat(F.lit("<a href=\"https://src"),
+                 ((F.col("doc_id") * 3) % 20).cast("string"),
+                 F.lit(".example/t\">x</a><a href='/rel'>y</a>"))
+        .alias("contents"))
+    return graph.link_host_edges(pages)
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment (plans/export.py):
     shard = floor(hex8(md5(doc_id||seed)) * 8 / 16^8) — content-keyed,
@@ -1232,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_authority": q_host_authority,
         "sessionize": q_sessionize,
         "shard_assign": q_shard_assign,
+        "html_text": q_html_text,
+        "link_graph": q_link_graph,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1617,6 +1651,40 @@ def oracle_sql() -> dict[str, str]:
               FROM und JOIN reach ON und.v = reach.id)
             SELECT id AS doc_id, MIN(r) AS component
             FROM reach GROUP BY 1""",
+        "html_text": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><style>p{color:red}</style>'
+                     || '<script>var x="<p>hidden</p>";</script></head>'
+                     || '<body><!-- note --><p>' || text
+                     || '</p> &amp; <a href="https://' || source
+                     || '.example/x">link</a></body></html>' AS html
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(html,
+                             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                         '(?s)<!--.*?-->', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g') AS t
+              FROM h),
+            e AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(t,
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&nbsp;', ' '),
+                         '&amp;', '&') AS t
+              FROM s)
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+            FROM e""",
+        "link_graph": f"""
+            SELECT DISTINCT
+                   source || '.s3.{REGION}.amazonaws.com' AS src,
+                   'src' || CAST((doc_id * 3) % 20 AS VARCHAR)
+                       || '.example' AS dst
+            FROM documents""",
         "shard_assign": r"""
             SELECT doc_id,
                    CAST((list_reduce(

@@ -243,3 +243,60 @@ def fingerprint_rolling(text: Column | str, *, base: int = 257,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(base) + c.cast("long")) % F.lit(mod),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML handling (web-crawl payloads: text extraction + link harvesting)
+# ---------------------------------------------------------------------------
+
+#: regex chain applied IN ORDER by :func:`html_to_text`; every pattern
+#: lives in the Java-regex ∩ RE2 common subset (inline (?is) flags, no
+#: backreferences — script and style get separate rules) so a SQL oracle
+#: replays the chain verbatim.
+HTML_STRIP_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+#: minimal entity set; applied after tag stripping
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+#: href values in single or double quotes
+HREF_PATTERN = r"""href\s*=\s*["']([^"']+)["']"""
+
+#: host of an absolute http(s) URL (group 1)
+URL_HOST_PATTERN = r"^https?://([^/?#]+)"
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML payload: drop script/style/comment blocks,
+    strip tags, decode the common entities, collapse whitespace. A
+    deliberately dependency-free extractor (no parser libraries in the
+    hot path) — pure ``regexp_replace`` chain, JVM-side, shuffle-free.
+    Malformed HTML degrades gracefully (an unclosed tag strips to the
+    next ``>``; plain text passes through)."""
+    out = _col(html)
+    for pattern, repl in HTML_STRIP_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    for entity, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_links(html: Column | str) -> Column:
+    """Array of href values (``href="..."`` / ``href='...'``) in document
+    order — the crawl-loop link harvest. Relative URLs come back as
+    written; resolve against the page URL downstream."""
+    return F.regexp_extract_all(_col(html), F.lit(HREF_PATTERN), 1)
+
+
+def url_host(url: Column | str) -> Column:
+    """Host of an absolute http(s) URL; NULL for relative/other schemes
+    (regexp_extract returns '' on no-match — normalized to NULL)."""
+    h = F.regexp_extract(_col(url), URL_HOST_PATTERN, 1)
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)

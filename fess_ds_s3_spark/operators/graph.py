@@ -41,7 +41,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["host_authority", "authority_priority"]
+__all__ = ["host_authority", "authority_priority", "link_host_edges"]
+
+
+def link_host_edges(pages: DataFrame, *, url_col: str = "url",
+                    html_col: str = "contents") -> DataFrame:
+    """Harvest the host link graph from fetched pages — the input
+    :func:`host_authority` consumes, closing the crawl loop (fetch →
+    links → authority → next round's admission priority). One explode
+    (the edge set's own cardinality) + a distinct; relative hrefs (no
+    absolute host) are dropped, self-links kept. Returns distinct
+    ``(src, dst)``."""
+    from fess_ds_s3_spark.functions.text import html_links, url_host
+    exploded = pages.select(
+        url_host(F.col(url_col)).alias("src"),
+        F.explode(html_links(F.col(html_col))).alias("_href"))
+    return (exploded
+            .select("src", url_host(F.col("_href")).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct())
 
 
 def host_authority(edges: DataFrame, *, src: str = "src",

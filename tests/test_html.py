@@ -1,0 +1,74 @@
+"""HTML text/link extraction (functions/text.py, operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.functions import text as T
+from fess_ds_s3_spark.operators import graph
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(html,)], "h string")
+    return df.select(T.html_to_text("h").alias("t"),
+                     T.html_links("h").alias("l")).first()
+
+
+class TestHtmlToText:
+    def test_strips_tags_scripts_styles_comments(self, spark):
+        html = ("<html><head><style>p{color:red}</style>"
+                "<script type='x'>var a = '<p>not text</p>';</script>"
+                "</head><body><!-- hidden --><p>Hello <b>world</b></p>"
+                "</body></html>")
+        assert _one(spark, html).t == "Hello world"
+
+    def test_entities_and_whitespace(self, spark):
+        html = "<p>a &amp; b &lt;c&gt;   d&nbsp;e &#39;f&#39;</p>"
+        assert _one(spark, html).t == "a & b <c> d e 'f'"
+
+    def test_amp_decoded_last_no_double_decode(self, spark):
+        # "&amp;lt;" is the literal text "&lt;", not "<"
+        assert _one(spark, "&amp;lt;x").t == "&lt;x"
+
+    def test_plain_text_passthrough(self, spark):
+        assert _one(spark, "  just   text  ").t == "just text"
+
+
+class TestHtmlLinks:
+    def test_ordered_hrefs_both_quote_styles(self, spark):
+        html = ("<a href='https://a.example/x'>1</a>"
+                '<link href="/rel.css"><a href="https://b.example/">2</a>')
+        assert _one(spark, html).l == \
+            ["https://a.example/x", "/rel.css", "https://b.example/"]
+
+    def test_url_host(self, spark):
+        df = spark.createDataFrame(
+            [("https://h.example:8080/p?q#f",), ("/relative",),
+             ("ftp://other",), ("http://plain.example",)], "u string")
+        got = [r.h for r in df.select(T.url_host("u").alias("h")).collect()]
+        assert got == ["h.example:8080", None, None, "plain.example"]
+
+
+class TestLinkHostEdges:
+    def test_edges_drop_relative_keep_self(self, spark):
+        pages = spark.createDataFrame([
+            ("https://a.example/p1",
+             '<a href="https://b.example/x"></a><a href="/rel"></a>'
+             '<a href="https://a.example/self"></a>'),
+            ("https://b.example/p2", '<a href="https://a.example/"></a>'),
+        ], "url string, contents string")
+        got = {(r.src, r.dst)
+               for r in graph.link_host_edges(pages).collect()}
+        assert got == {("a.example", "b.example"),
+                       ("a.example", "a.example"),
+                       ("b.example", "a.example")}
+
+    def test_feeds_host_authority(self, spark):
+        pages = spark.createDataFrame([
+            ("https://a.example/", '<a href="https://hub.example/"></a>'),
+            ("https://b.example/", '<a href="https://hub.example/"></a>'),
+            ("https://hub.example/", '<a href="https://a.example/"></a>'),
+        ], "url string, contents string")
+        ranks = {r.host: r.rank for r in graph.host_authority(
+            graph.link_host_edges(pages)).collect()}
+        assert ranks["hub.example"] > ranks["a.example"] > ranks["b.example"]
