@@ -41,7 +41,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
@@ -376,6 +376,22 @@ class CrawlDriver:
             frontier_df = frontier_df.filter(
                 (rnd <= F.lit(round_id)) & (rnd >= F.lit(start)))
         seen_df = self.committed_seen(min_round=start)
+        if "is_retry" in frontier_df.columns:
+            # retry_failures() re-opened these URLs for exactly this
+            # round: lift them out of the exact seen set so the round's
+            # unseen filter admits them once more (the bloom may say
+            # maybe-seen; the exact confirm then finds them unseen).
+            # Scoped to round == round_id, so a retry that succeeds — or
+            # exhausts its attempts — falls back under seen protection
+            # from the next round on. Replay-deterministic: the retry
+            # rows are committed frontier state.
+            reopened = (frontier_df
+                        .filter(F.coalesce(F.col("is_retry"),
+                                           F.lit(False))
+                                & (F.coalesce(F.col("round"), F.lit(0))
+                                   == F.lit(round_id)))
+                        .select("canonical_url").distinct())
+            seen_df = seen_df.join(reopened, "canonical_url", "left_anti")
         blooms, bloom_size = None, None
         if self.use_bloom and self.seen_bloom.exists():
             blooms = self.seen_bloom.read()
@@ -597,6 +613,85 @@ class CrawlDriver:
             out["seen"] = self.seen.expire_snapshots(
                 keep_last=keep_last, protect_ids=ids, reference="delta")
         return out
+
+    # ----- cross-round failure retries ---------------------------------------
+
+    #: error classes that can never succeed on retry — deterministic
+    #: outcomes of the object itself (size guard, extraction), per the
+    #: reference's failure taxonomy (AmazonS3DataStore.java:279-287)
+    RETRY_PERMANENT_ERRORS: tuple[str, ...] = (
+        "MaxLengthExceededException", "ExtractException")
+
+    def retry_failures(self, *, max_attempts: int = 3,
+                       retry_errors: tuple[str, ...] | None = None) -> int:
+        """Re-open transient failures as retry candidates for the NEXT
+        round. The in-task retry budget (``fetch_objects(retries=)``)
+        handles blips within a GET; this is the round-granular tier
+        above it — a URL that keeps failing across rounds gets up to
+        ``max_attempts`` total attempts, then stays failed.
+
+        Selection: committed failure rows, minus permanent error classes
+        (:data:`RETRY_PERMANENT_ERRORS`; pass ``retry_errors`` to
+        allowlist instead), minus URLs that later succeeded, with fewer
+        than ``max_attempts`` failure rows (each failed attempt adds a
+        row, so the ledger itself is the attempt counter — no new state
+        table). Each survivor's ORIGINAL frontier row (lowest round) is
+        re-appended stamped ``round = last_round()+1, is_retry = true``;
+        ``run_round`` lifts exactly those (url, round) pairs out of the
+        seen set for that one round. Crash-safe like every append: an
+        orphan retry delta is invisible until the next round ledgers it,
+        and a duplicate re-append collapses in the round's dedup.
+
+        Returns the number of URLs re-opened (an empty retry delta is
+        dropped, not committed)."""
+        if max_attempts < 2:
+            raise ValueError("max_attempts must be >= 2 (the first "
+                             "attempt already happened)")
+        if not self.failures.exists():
+            return 0
+        fails = self.read_committed("failures")
+        # a URL's retryability is decided by its MOST RECENT failure —
+        # an older transient miss must not re-open a URL that has since
+        # failed permanently (e.g. NoSuchKey in round 0, MaxLength once
+        # the object was listed oversize in round 1)
+        wl = Window.partitionBy("url").orderBy(
+            F.col("round").desc(), F.col("error_name"))
+        latest = (fails.withColumn("_rn", F.row_number().over(wl))
+                  .filter(F.col("_rn") == 1))
+        if retry_errors is None:
+            latest = latest.filter(
+                ~F.col("error_name").isin(*self.RETRY_PERMANENT_ERRORS))
+        else:
+            latest = latest.filter(
+                F.col("error_name").isin(*list(retry_errors)))
+        attempts = (fails.groupBy("url")
+                    .agg(F.count(F.lit(1)).alias("_attempts"))
+                    .filter(F.col("_attempts") < F.lit(max_attempts)))
+        cand = latest.select("url").join(attempts.select("url"),
+                                         "url", "left_semi")
+        if self.indexed.exists():
+            cand = cand.join(
+                self.read_committed("indexed").select("url"),
+                "url", "left_anti")
+        base = self.frontier.read()
+        rnd = (F.coalesce(F.col("round"), F.lit(0))
+               if "round" in base.columns else F.lit(0))
+        w = Window.partitionBy("url").orderBy(rnd.asc(), F.col("url"))
+        rows = (base.join(cand, "url", "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        next_round = self.last_round() + 1
+        rows = (rows.withColumn("round", F.lit(next_round))
+                .withColumn("is_retry", F.lit(True)))
+        from pyspark.sql import Observation
+        obs = Observation()
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        snap = self.frontier.append(
+            rows, {"kind": "retry", "round": next_round})
+        n = int(obs.get["n"])
+        if n == 0:
+            self.frontier.drop_if_current(snap)
+        return n
 
     # ----- incremental re-crawl cycles ---------------------------------------
 
