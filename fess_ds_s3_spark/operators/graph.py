@@ -92,11 +92,16 @@ def host_authority(edges: DataFrame, *, src: str = "src",
             "int64 — lower scale")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
+    # both static frames are persisted — every iteration references
+    # them, and without the cache each of the K plan layers re-derives
+    # them from the raw edges. e is additionally pre-partitioned on the
+    # join key, so the cached layout satisfies the per-iteration join's
+    # distribution and only the (changing) rank side shuffles.
     nodes = (e.select(F.col("src").alias("host"))
              .unionByName(e.select(F.col("dst").alias("host")))
-             .distinct())
+             .distinct().persist())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = e.join(deg, "src").persist()
+    e = e.join(deg, "src").repartition("src").persist()
     base = (scale // den) * (den - num)
     ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
     for it in range(iterations):
