@@ -203,3 +203,36 @@ def host_rate_state(fetch_stream: DataFrame, *,
             .applyInPandasWithState(_update, HOST_RATE_SCHEMA,
                                     _HOST_RATE_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def continuous_sessions(events_stream: DataFrame, *,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        gap_seconds: int = 1800,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization: ``session_window`` + event-time
+    watermark (the operators/sessions.py batch op's streaming twin).
+
+    In APPEND output mode a session row is emitted exactly once — when
+    the watermark has passed its close (no event within ``gap_seconds``
+    can extend it anymore). Late events inside the watermark re-open and
+    extend their session before it is emitted; events later than the
+    watermark are dropped by the engine — the documented and bounded
+    late-data contract that a lag/cumsum formulation cannot offer in
+    streaming (it would need unbounded state). State per (user, open
+    session) only; ``session_window`` merges map-side.
+
+    Returns ``(user_col, n_events, start_us, end_us)`` — same shape as
+    ``session_stats_native`` so the test suite can pin stream ≡ batch on
+    the closed prefix.
+    """
+    from pyspark.sql import functions as F
+
+    from fess_ds_s3_spark.operators.sessions import _micros
+    win = F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds")
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col), win.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(_micros(ts_col, None)).alias("start_us"),
+                 F.max(_micros(ts_col, None)).alias("end_us"))
+            .select(user_col, "n_events", "start_us", "end_us"))

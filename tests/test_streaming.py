@@ -186,3 +186,54 @@ class TestStreamStoreMode:
                 for r in driver.read_committed("indexed").collect()}
         assert len(rows) == 6
         assert any(v == "text-0" for v in rows.values())
+
+
+class TestContinuousSessions:
+    def test_append_emits_closed_sessions_and_drops_too_late(self, spark,
+                                                             tmp_path):
+        """Session A (events t=0,100) is emitted once the watermark
+        passes its close; the still-open session stays unemitted; an
+        event later than the watermark is dropped (bounded-late-data
+        contract)."""
+        import datetime as dt
+        from fess_ds_s3_spark.streaming.rounds import continuous_sessions
+
+        base = dt.datetime(2024, 1, 1)
+        schema = "user_id long, ts timestamp"
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ck")
+        res = str(tmp_path / "out")
+
+        def write(seconds):
+            spark.createDataFrame(
+                [(1, base + dt.timedelta(seconds=s)) for s in seconds],
+                schema).write.mode("append").parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = continuous_sessions(stream, gap_seconds=1800,
+                                      watermark="1 second")
+            q = (out.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(lambda df, _b:
+                               df.write.mode("append").parquet(res))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            try:
+                return [(r.user_id, r.n_events) for r in
+                        spark.read.parquet(res).collect()]
+            except Exception:
+                return []
+
+        write([0, 100])
+        run()                      # watermark still inside session A
+        write([10_000])            # advances watermark past A's close
+        got = run()
+        assert (1, 2) in got       # session A emitted, exactly the 2 events
+        assert len(got) == 1       # session B (t=10000) still open
+
+        # a too-late event (t=50 << watermark) is dropped, session A is
+        # NOT re-emitted or extended; a new far event closes B
+        write([50, 40_000])
+        got = run()
+        assert sorted(got) == [(1, 1), (1, 2)]   # A unchanged, B closed n=1
