@@ -543,8 +543,9 @@ def q_html_text(spark, sf_dir):
 def q_link_graph(spark, sf_dir):
     """Link harvesting → host graph (operators/graph.link_host_edges):
     each doc becomes a page at its frontier URL whose body links one
-    absolute target host ('src'||(doc_id*3)%20) and one relative path
-    (dropped). Output: distinct (src, dst) host edges."""
+    absolute target host ('src'||(doc_id*3)%20) and one root-relative
+    path (resolved against the page URL → a self-host edge). Output:
+    distinct (src, dst) host edges."""
     from fess_ds_s3_spark.operators import graph
     f = _frontier(spark, sf_dir)
     pages = f.select(
@@ -554,6 +555,21 @@ def q_link_graph(spark, sf_dir):
                  F.lit(".example/t\">x</a><a href='/rel'>y</a>"))
         .alias("contents"))
     return graph.link_host_edges(pages)
+
+
+def q_sitemap_seed(spark, sf_dir):
+    """Sitemap parsing (functions/urls.sitemap_urls): each frontier row
+    becomes a two-<loc> sitemap (its own URL + a mirror URL with
+    whitespace padding the loc); the regex harvest recovers both,
+    trimmed. Output: (doc_id, url) seed candidates."""
+    from fess_ds_s3_spark.functions.urls import sitemap_urls
+    f = _frontier(spark, sf_dir)
+    xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset><url><loc>"), F.col("url"),
+        F.lit("</loc></url><url><loc> https://mirror.example/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" </loc></url></urlset>"))
+    return f.select("doc_id", F.explode(sitemap_urls(xml)).alias("url"))
 
 
 def q_shard_assign(spark, sf_dir):
@@ -1266,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "html_text": q_html_text,
         "link_graph": q_link_graph,
+        "sitemap_seed": q_sitemap_seed,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1684,7 +1701,20 @@ def oracle_sql() -> dict[str, str]:
                    source || '.s3.{REGION}.amazonaws.com' AS src,
                    'src' || CAST((doc_id * 3) % 20 AS VARCHAR)
                        || '.example' AS dst
+            FROM documents
+            UNION
+            -- the '/rel' root-relative href resolves to the page's own
+            -- host (resolve_url default) → one self-edge per source host
+            SELECT DISTINCT
+                   source || '.s3.{REGION}.amazonaws.com' AS src,
+                   source || '.s3.{REGION}.amazonaws.com' AS dst
             FROM documents""",
+        "sitemap_seed": FRONTIER_CTE + """
+            SELECT doc_id,
+                   unnest([url,
+                           'https://mirror.example/'
+                               || CAST(doc_id AS VARCHAR)]) AS url
+            FROM frontier""",
         "shard_assign": r"""
             SELECT doc_id,
                    CAST((list_reduce(

@@ -181,3 +181,54 @@ def url_hash64(url: Column | str) -> Column:
     """
     url = F.col(url) if isinstance(url, str) else url
     return F.xxhash64(url)
+
+
+# --------------------------------------------------------------------------
+# Relative-URL resolution + sitemap parsing (crawl-loop link handling)
+# --------------------------------------------------------------------------
+
+def resolve_url(base: "Column | str", href: "Column | str") -> "Column":
+    """Resolve an href against its page URL — column-native (no UDF) and
+    reproducible in ANSI SQL, covering the four cases a crawl meets:
+
+    - absolute (``scheme://...``) → as written
+    - protocol-relative (``//host/...``) → base's scheme + href
+    - root-relative (``/path``) → base's ``scheme://host`` + href
+    - path-relative (anything else) → base's directory + href
+
+    Deliberate scope cut vs full RFC 3986: ``..``/``.`` dot segments are
+    NOT collapsed (the canonicalizer's job downstream treats the path as
+    opaque; two spellings of one path dedup via the fetched content
+    tier), and fragments are kept as written. NULL base or href → NULL.
+    """
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    scheme = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    # base directory: origin + path up to (and incl.) the last '/';
+    # a path-less base resolves relative hrefs against origin + '/'
+    path = F.regexp_extract(b, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    dir_ = F.concat(origin, F.when(
+        path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"[^/]*$", "")))
+    out = (F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+           .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+           .when(h.startswith("/"), F.concat(origin, h))
+           .otherwise(F.concat(dir_, h)))
+    return F.when(b.isNull() | h.isNull() | (origin == ""),
+                  F.lit(None).cast("string")).otherwise(out)
+
+
+#: ``<loc>`` entries of a sitemap / sitemap-index document
+SITEMAP_LOC_PATTERN = r"<loc>\s*([^<\s]+)\s*</loc>"
+
+
+def sitemap_urls(xml: "Column | str") -> "Column":
+    """URLs listed in a sitemap XML body, in document order — the seed
+    source crawlers consult before (or instead of) link harvesting.
+    Regex-scoped like the HTML handling (functions/text.py): no XML
+    parser dependency, same Java-regex ∩ RE2 subset so a SQL oracle
+    replays it; also matches a sitemap INDEX (whose <loc>s point at more
+    sitemaps — feed them back through the fetch stage)."""
+    c = F.col(xml) if isinstance(xml, str) else xml
+    return F.regexp_extract_all(c, F.lit(SITEMAP_LOC_PATTERN), 1)

@@ -45,19 +45,29 @@ __all__ = ["host_authority", "authority_priority", "link_host_edges"]
 
 
 def link_host_edges(pages: DataFrame, *, url_col: str = "url",
-                    html_col: str = "contents") -> DataFrame:
+                    html_col: str = "contents",
+                    resolve: bool = True) -> DataFrame:
     """Harvest the host link graph from fetched pages — the input
     :func:`host_authority` consumes, closing the crawl loop (fetch →
     links → authority → next round's admission priority). One explode
-    (the edge set's own cardinality) + a distinct; relative hrefs (no
-    absolute host) are dropped, self-links kept. Returns distinct
-    ``(src, dst)``."""
+    (the edge set's own cardinality) + a distinct; self-links kept.
+    Returns distinct ``(src, dst)``.
+
+    ``resolve`` (default): relative hrefs resolve against the page URL
+    (functions/urls.resolve_url) before host extraction, so root- and
+    path-relative links contribute their (self-host) edges like a real
+    crawler counts them; ``resolve=False`` drops every non-absolute
+    href instead."""
     from fess_ds_s3_spark.functions.text import html_links, url_host
+    from fess_ds_s3_spark.functions.urls import resolve_url
     exploded = pages.select(
+        F.col(url_col).alias("_base"),
         url_host(F.col(url_col)).alias("src"),
         F.explode(html_links(F.col(html_col))).alias("_href"))
+    target = (resolve_url(F.col("_base"), F.col("_href")) if resolve
+              else F.col("_href"))
     return (exploded
-            .select("src", url_host(F.col("_href")).alias("dst"))
+            .select("src", url_host(target).alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .distinct())
 

@@ -50,18 +50,23 @@ class TestHtmlLinks:
 
 
 class TestLinkHostEdges:
-    def test_edges_drop_relative_keep_self(self, spark):
+    def test_edges_resolve_relative_to_self_host(self, spark):
         pages = spark.createDataFrame([
             ("https://a.example/p1",
-             '<a href="https://b.example/x"></a><a href="/rel"></a>'
-             '<a href="https://a.example/self"></a>'),
+             '<a href="https://b.example/x"></a><a href="/rel"></a>'),
             ("https://b.example/p2", '<a href="https://a.example/"></a>'),
         ], "url string, contents string")
         got = {(r.src, r.dst)
                for r in graph.link_host_edges(pages).collect()}
+        # '/rel' resolves against the page → self-host edge
         assert got == {("a.example", "b.example"),
                        ("a.example", "a.example"),
                        ("b.example", "a.example")}
+        # resolve=False drops non-absolute hrefs instead
+        strict = {(r.src, r.dst) for r in
+                  graph.link_host_edges(pages, resolve=False).collect()}
+        assert strict == {("a.example", "b.example"),
+                          ("b.example", "a.example")}
 
     def test_feeds_host_authority(self, spark):
         pages = spark.createDataFrame([

@@ -107,3 +107,57 @@ class TestCanonicalization:
         got = [r[0] for r in
                df.select(canonicalize_url(F.col("url"))).collect()]
         assert got == [canonicalize_url_py(u) for u in urls]
+
+
+class TestResolveUrl:
+    def _resolve(self, spark, pairs):
+        from fess_ds_s3_spark.functions.urls import resolve_url
+        df = spark.createDataFrame(pairs, "base string, href string")
+        return [r.out for r in
+                df.select(resolve_url("base", "href").alias("out"))
+                .collect()]
+
+    def test_four_cases(self, spark):
+        base = "https://h.example/a/b/page.html?q=1"
+        got = self._resolve(spark, [
+            (base, "https://other.example/x"),
+            (base, "//cdn.example/y"),
+            (base, "/root.css"),
+            (base, "rel/img.png"),
+        ])
+        assert got == [
+            "https://other.example/x",
+            "https://cdn.example/y",
+            "https://h.example/root.css",
+            "https://h.example/a/b/rel/img.png",
+        ]
+
+    def test_pathless_base_and_nulls(self, spark):
+        got = self._resolve(spark, [
+            ("https://h.example", "x.html"),
+            ("https://h.example", None),
+            (None, "x.html"),
+            ("not a url", "x.html"),
+        ])
+        assert got == ["https://h.example/x.html", None, None, None]
+
+    def test_urljoin_agreement_on_scope(self, spark):
+        # within the documented scope (no dot segments), matches urllib
+        from urllib.parse import urljoin
+        cases = [("https://h.example/a/b/c.html", h)
+                 for h in ("https://x.example/q", "//y.example/p",
+                           "/abs/p.txt", "d/e.txt", "f.txt?q=2#frag")]
+        got = self._resolve(spark, cases)
+        assert got == [urljoin(b, h) for b, h in cases]
+
+
+class TestSitemapUrls:
+    def test_locs_in_order_and_whitespace(self, spark):
+        from fess_ds_s3_spark.functions.urls import sitemap_urls
+        xml = ("<?xml version='1.0'?><urlset>"
+               "<url><loc>https://h.example/a</loc></url>"
+               "<url><loc>  https://h.example/b </loc></url>"
+               "<url><lastmod>2024-01-01</lastmod></url></urlset>")
+        df = spark.createDataFrame([(xml,)], "x string")
+        got = df.select(sitemap_urls("x").alias("u")).first().u
+        assert got == ["https://h.example/a", "https://h.example/b"]
