@@ -135,14 +135,18 @@ def authority_priority(frontier: DataFrame, ranks: DataFrame, *,
                        out_col: str = "priority") -> DataFrame:
     """Feed authority into the politeness ranking: the canonical crawl
     order is ``(priority ASC, ...)`` (operators/politeness.py), so
-    ``priority = -rank`` — higher-authority hosts admit first. Hosts
-    absent from the link graph get priority 0 (rank 0): crawled after
-    every ranked host. The ranks side is one row per host — small next
-    to the frontier; left to the optimizer/AQE to broadcast (it rides
-    the normal auto-broadcast threshold, same as host budgets)."""
+    higher-authority hosts get MORE NEGATIVE priority and admit first.
+    The rank (fixed-point scale ~10^12) is bucketed by a 2^20 shift so
+    the value fits the frontier's INT priority column (ANSI cast-safe);
+    near-equal ranks tie and fall back to the (discovery_time, url)
+    order. Hosts absent from the link graph get priority 0 (rank 0):
+    crawled after every ranked host. The ranks side is one row per host
+    — small next to the frontier; left to the optimizer/AQE to
+    broadcast (it rides the normal auto-broadcast threshold, same as
+    host budgets)."""
     r = ranks.select(F.col("host").alias(host_col),
                      F.col("rank").alias("_auth_rank"))
+    bucket = F.shiftright(F.coalesce(F.col("_auth_rank"), F.lit(0)), 20)
     return (frontier.join(r, host_col, "left")
-            .withColumn(out_col,
-                        -F.coalesce(F.col("_auth_rank"), F.lit(0)))
+            .withColumn(out_col, (-bucket).cast("int"))
             .drop("_auth_rank"))

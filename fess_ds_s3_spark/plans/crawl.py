@@ -134,7 +134,9 @@ class CrawlDriver:
                  encode_urls: bool = True, per_round_cap: int | None = None,
                  object_store_root=None,
                  conditional_fetch: bool = False,
-                 robots_round_seconds: float = 60.0):
+                 robots_round_seconds: float = 60.0,
+                 use_authority: bool = False,
+                 authority_iterations: int = 3):
         if per_round_cap is not None and per_round_cap <= 0:
             raise ValueError("per_round_cap must be positive or None")
         if conditional_fetch and object_store_root is None:
@@ -169,6 +171,15 @@ class CrawlDriver:
         self.cycles = self.catalog.table("cycles")
         # adaptive re-crawl schedule (change-rate fold, priority source)
         self.schedule = self.catalog.table("schedule")
+        # host-graph authority (operators/graph.py): link edges harvested
+        # per round; refresh_authority() folds them into admission
+        # priority (decisive under a per_round_cap, where it picks WHICH
+        # hosts fill the budget — within-host order is unaffected since
+        # authority is a host-level score)
+        self.use_authority = use_authority
+        self.authority_iterations = authority_iterations
+        self.link_edges = self.catalog.table("link_edges")
+        self.authority = self.catalog.table("authority")
 
     # ----- state ------------------------------------------------------------
 
@@ -375,6 +386,10 @@ class CrawlDriver:
             rnd = F.coalesce(F.col("round"), F.lit(0))
             frontier_df = frontier_df.filter(
                 (rnd <= F.lit(round_id)) & (rnd >= F.lit(start)))
+        if self.use_authority and self.authority.exists():
+            from fess_ds_s3_spark.operators.graph import authority_priority
+            frontier_df = authority_priority(frontier_df,
+                                             self.authority.read())
         seen_df = self.committed_seen(min_round=start)
         if "is_retry" in frontier_df.columns:
             # retry_failures() re-opened these URLs for exactly this
@@ -479,6 +494,8 @@ class CrawlDriver:
                                     and "doc_id" in processed.columns) else "url"
             sel = [join_key] + (["priority"]
                                 if "priority" in processed.columns else [])
+            if self.use_authority and join_key != "host":
+                sel.append("host")
             stored_docs = (processed.filter(F.col("status") == "stored")
                            .select(*sel).join(docs, join_key))
             if "doc_id" not in stored_docs.columns:
@@ -493,6 +510,27 @@ class CrawlDriver:
             link_snap = self.frontier.append(candidates,
                                              {"round": round_id + 1,
                                               "kind": "links"})
+            if self.use_authority:
+                # host link edges for the authority fold: parent host →
+                # linked URL's host; same churn guard as the links delta
+                from fess_ds_s3_spark.functions.text import url_host
+                from fess_ds_s3_spark.operators.extract import \
+                    links_from_spans
+                edges = (stored_docs
+                         .select(F.col("host").alias("src"),
+                                 F.explode(links_from_spans("spans"))
+                                 .alias("_u"))
+                         .select("src", url_host(F.col("_u")).alias("dst"))
+                         .filter(F.col("src").isNotNull()
+                                 & F.col("dst").isNotNull())
+                         .distinct())
+                obs_edges = Observation()
+                edges = edges.observe(obs_edges,
+                                      F.count(F.lit(1)).alias("n"))
+                edge_snap = self.link_edges.append(edges,
+                                                   {"round": round_id})
+                if int(obs_edges.get["n"]) == 0:
+                    self.link_edges.drop_if_current(edge_snap)
             new_links = int(obs_links.get["n"])
             if new_links == 0:
                 # the count rides the append's Observation (no second job
@@ -613,6 +651,35 @@ class CrawlDriver:
             out["seen"] = self.seen.expire_snapshots(
                 keep_last=keep_last, protect_ids=ids, reference="delta")
         return out
+
+    # ----- host authority ----------------------------------------------------
+
+    def refresh_authority(self) -> int:
+        """Fold every harvested link edge into fresh authority ranks
+        (operators/graph.host_authority — fixed-point integer PageRank)
+        and install them as the admission priority source: subsequent
+        rounds run with ``priority = -rank`` per host. Call every
+        O(10-100) rounds (like compaction) — authority shifts slowly and
+        each refresh costs the K-iteration rank job. Returns the number
+        of ranked hosts (0 when no edges exist yet — the authority table
+        is then left untouched)."""
+        if not self.use_authority:
+            raise ValueError("driver was built with use_authority=False")
+        if not self.link_edges.exists():
+            return 0
+        from fess_ds_s3_spark.operators.graph import host_authority
+        edges = self.link_edges.read().select("src", "dst").distinct()
+        ranks = host_authority(edges,
+                               iterations=self.authority_iterations)
+        from pyspark.sql import Observation
+        obs = Observation()
+        ranks = ranks.observe(obs, F.count(F.lit(1)).alias("n"))
+        snap = self.authority.overwrite(ranks,
+                                        {"round": self.last_round()})
+        n = int(obs.get["n"])
+        if n == 0:
+            self.authority.drop_if_current(snap)
+        return n
 
     # ----- cross-round failure retries ---------------------------------------
 

@@ -521,3 +521,48 @@ class TestRetryFailures:
         assert {r.error_name for r in r1_fails.collect()} \
             == {"MaxLengthExceededException"}
         assert driver.retry_failures(max_attempts=5) == 0
+
+
+class TestAuthorityIntegration:
+    def test_authority_priority_fills_capped_round(self, spark, cfg,
+                                                   tmp_path):
+        """With use_authority: round-0 pages all link to host-00000;
+        after refresh_authority, a per_round_cap round admits
+        host-00000's URLs FIRST (priority = -rank beats every seed
+        priority)."""
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             use_authority=True, per_round_cap=6)
+        frontier = synthetic.synth_frontier(spark, 36, n_hosts=4, seed=17)
+        driver.seed(frontier)
+        docs = (frontier.select("url")
+                .withColumn("doc_id", F.col("url"))
+                .withColumn("spans", F.array(
+                    F.struct(F.lit("media").alias("kind"),
+                             F.lit(None).cast("string").alias("text"),
+                             F.concat(
+                                 F.lit("https://host-00000.example.com"
+                                       "/linked/"),
+                                 F.md5("url")).alias("media_ref"),
+                             F.lit(0).alias("offset")))))
+        s0 = driver.run_round(0, docs=docs)
+        assert s0.new_links > 0
+        n_hosts = driver.refresh_authority()
+        assert n_hosts >= 1
+        ranks = {r.host: r.rank for r in driver.authority.read().collect()}
+        assert max(ranks, key=ranks.get) == "host-00000.example.com"
+
+        s1 = driver.run_round(1, docs=docs)
+        r1 = (driver.read_committed("indexed")
+              .filter(F.col("round") == 1).select("host").collect())
+        assert s1.admitted == 6
+        assert {r.host for r in r1} == {"host-00000.example.com"}
+
+    def test_refresh_requires_flag_and_empty_is_noop(self, spark, cfg,
+                                                     tmp_path):
+        d = CrawlDriver(spark, str(tmp_path / "wh"), cfg)
+        with pytest.raises(ValueError, match="use_authority"):
+            d.refresh_authority()
+        d2 = CrawlDriver(spark, str(tmp_path / "wh2"), cfg,
+                         use_authority=True)
+        assert d2.refresh_authority() == 0
+        assert not d2.authority.exists()
