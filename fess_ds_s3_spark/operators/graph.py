@@ -90,6 +90,12 @@ def host_authority(edges: DataFrame, *, src: str = "src",
 
     ``materialize_every``: persist the rank frame every K iterations
     (caps lazy-plan depth on long runs); None = one fully lazy plan.
+
+    Cache lifetime: the internal edge/node frames (and any
+    ``materialize_every`` rank frames) stay persisted after return —
+    they must, since the returned plan references them lazily. They are
+    evicted LRU with executor memory pressure; a caller that wants them
+    gone immediately can ``spark.catalog.clearCache()`` after its action.
     """
     num, den = damping
     if not (0 < num < den):
