@@ -557,6 +557,21 @@ def q_link_graph(spark, sf_dir):
     return graph.link_host_edges(pages)
 
 
+def q_asof_events(spark, sf_dir):
+    """As-of join (operators/asof.py, J5 family): every event joins the
+    latest earlier-or-equal 'snapshot' event (event_id % 10 == 0) of the
+    same user — the union-window backward as-of. Oracle: DuckDB's
+    native ASOF LEFT JOIN over identical integer timestamps."""
+    from fess_ds_s3_spark.operators.asof import asof_join
+    from fess_ds_s3_spark.operators.sessions import _micros
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id",
+                  _micros("ts", "2024-01-01 00:00:00").alias("us")))
+    snap = (ev.filter(F.col("event_id") % 10 == 0)
+            .select("user_id", "us", F.col("event_id").alias("snap_id")))
+    return asof_join(ev, snap, on="user_id")
+
+
 def q_sitemap_seed(spark, sf_dir):
     """Sitemap parsing (functions/urls.sitemap_urls): each frontier row
     becomes a two-<loc> sitemap (its own URL + a mirror URL with
@@ -1283,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text": q_html_text,
         "link_graph": q_link_graph,
         "sitemap_seed": q_sitemap_seed,
+        "asof_events": q_asof_events,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1709,6 +1725,20 @@ def oracle_sql() -> dict[str, str]:
                    source || '.s3.{REGION}.amazonaws.com' AS src,
                    source || '.s3.{REGION}.amazonaws.com' AS dst
             FROM documents""",
+        "asof_events": r"""
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+              FROM events),
+            snap AS (
+              SELECT user_id, us, event_id AS snap_id
+              FROM ev WHERE event_id % 10 = 0)
+            SELECT e.event_id, e.user_id, e.us,
+                   s.snap_id AS snap_id_asof, s.us AS us_asof
+            FROM ev e
+            ASOF LEFT JOIN snap s
+              ON e.user_id = s.user_id AND e.us >= s.us""",
         "sitemap_seed": FRONTIER_CTE + """
             SELECT doc_id,
                    unnest([url,
