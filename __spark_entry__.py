@@ -1259,57 +1259,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry.  ORDERING IS LOAD-BEARING: the driver's correctness
+    gate checks the FIRST 50 entries in dict order.  Entries that have
+    never had a driver row (the round-3/4 LLM-pipeline surface) and
+    entries fixed or added this round come first; long-green veterans
+    (driver-passed in rounds 1-4) fill the remainder of the window, and
+    the simplest repeatedly-proven projections sit past position 50.
+    """
     return {
-        "bucket_catalog": q_bucket_catalog,
-        "fetch_join": q_fetch_join,
-        "object_fields": q_object_fields,
-        "listing_order": q_listing_order,
-        "bucket_filter": q_bucket_filter,
-        "url_build": q_url_build,
-        "include_exclude": q_include_exclude,
-        "mime_filter": q_mime_filter,
-        "size_routing": q_size_routing,
-        "politeness": q_politeness,
-        "admission_bucketed": q_admission_bucketed,
-        "seen_antijoin": q_seen_antijoin,
-        "seen_bloom_antijoin": q_seen_bloom_antijoin,
-        "seen_cuckoo_antijoin": q_seen_cuckoo_antijoin,
-        "fetch_store": q_fetch_store,
-        "resize_plan": q_resize_plan,
-        "frame_sample": q_frame_sample,
-        "admission_round1": q_admission_round1,
-        "status_counts": q_status_counts,
-        "host_agg": q_host_agg,
-        "union_dedup": q_union_dedup,
-        "stats_events": q_stats_events,
-        "script_projection": q_script_projection,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "quality": q_quality,
-        "lang_id": q_lang_id,
-        "events_window": q_events_window,
-        "cosine_topk": q_cosine_topk,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_cluster": q_dedup_cluster,
-        "host_authority": q_host_authority,
-        "sessionize": q_sessionize,
-        "shard_assign": q_shard_assign,
-        "html_text": q_html_text,
-        "link_graph": q_link_graph,
-        "sitemap_seed": q_sitemap_seed,
-        "asof_events": q_asof_events,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "approx_distinct": q_approx_distinct,
-        "decode_media": q_decode_media,
-        "spans_roundtrip": q_spans_roundtrip,
-        "object_map": q_object_map,
-        "mime_sniff": q_mime_sniff,
-        "embed_neardup": q_embed_neardup,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "robots_filter": q_robots_filter,
+        # -- never driver-checked before round 5 (positions 51-67 in r4) --
         "ivf_topk": q_ivf_topk,
         "multiround_crawl": q_multiround_crawl,
         "listing_diff": q_listing_diff,
@@ -1327,6 +1285,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_interleaved": q_scrub_interleaved,
         "pack_interleaved": q_pack_interleaved,
         "media_manifest": q_media_manifest,
+        # -- fixed this round (r4 driver RED: oracle HUGEINT vs BIGINT) --
+        "sessionize": q_sessionize,
+        # -- new in round 5 --
+        # (slot: new entries are inserted here so they land in-window)
+        # -- driver-green veterans (rounds 1-4), most complex first --
+        "admission_round1": q_admission_round1,
+        "admission_bucketed": q_admission_bucketed,
+        "politeness": q_politeness,
+        "seen_antijoin": q_seen_antijoin,
+        "seen_bloom_antijoin": q_seen_bloom_antijoin,
+        "seen_cuckoo_antijoin": q_seen_cuckoo_antijoin,
+        "robots_filter": q_robots_filter,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embed_neardup": q_embed_neardup,
+        "dedup_cluster": q_dedup_cluster,
+        "host_authority": q_host_authority,
+        "asof_events": q_asof_events,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "fetch_store": q_fetch_store,
+        "fetch_join": q_fetch_join,
+        "stats_events": q_stats_events,
+        "events_window": q_events_window,
+        "link_graph": q_link_graph,
+        "object_map": q_object_map,
+        "spans_roundtrip": q_spans_roundtrip,
+        "bucket_catalog": q_bucket_catalog,
+        "listing_order": q_listing_order,
+        "status_counts": q_status_counts,
+        "approx_distinct": q_approx_distinct,
+        "quality": q_quality,
+        "union_dedup": q_union_dedup,
+        "host_agg": q_host_agg,
+        "decode_media": q_decode_media,
+        # ---- position ~50 boundary: everything below is the simplest,
+        # ---- repeatedly driver-proven surface (r1-r4 green every round)
+        "object_fields": q_object_fields,
+        "bucket_filter": q_bucket_filter,
+        "url_build": q_url_build,
+        "include_exclude": q_include_exclude,
+        "mime_filter": q_mime_filter,
+        "size_routing": q_size_routing,
+        "resize_plan": q_resize_plan,
+        "frame_sample": q_frame_sample,
+        "script_projection": q_script_projection,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "shard_assign": q_shard_assign,
+        "html_text": q_html_text,
+        "sitemap_seed": q_sitemap_seed,
+        "mime_sniff": q_mime_sniff,
+        "rolling_fingerprint": q_rolling_fingerprint,
     }
 
 
@@ -1773,9 +1787,12 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
             sess AS (
               SELECT user_id, us,
-                     SUM(is_new) OVER (
+                     -- DuckDB SUM over INT yields HUGEINT (-> float64 in
+                     -- pandas); Spark emits BIGINT.  The driver hasher is
+                     -- type-strict, so pin the oracle to BIGINT too.
+                     CAST(SUM(is_new) OVER (
                        PARTITION BY user_id ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM flags)
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(us) AS start_us, MAX(us) AS end_us

@@ -95,6 +95,22 @@ def main():
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs "
                             f"{sorted(odf.columns)}")
+        else:
+            # The driver's hasher is type-strict (1.0 != 1), but norm_cell
+            # folds integral floats.  Catch the class norm_cell masks: an
+            # int column on one side vs a float column on the other (e.g.
+            # DuckDB HUGEINT -> float64 from SUM over INT while Spark emits
+            # BIGINT).  A float column that is float only because it holds
+            # NULLs appears on both sides symmetrically, so int-vs-float
+            # here is a real oracle type divergence.
+            for c in sorted(sdf.columns):
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if {ks, ko} <= {"i", "u", "f"} and ("f" in (ks, ko)) and (
+                        ks not in "f" or ko not in "f"):
+                    problems.append(
+                        f"dtype-kind mismatch col={c}: spark={sdf[c].dtype}"
+                        f" vs oracle={odf[c].dtype} (driver hasher is"
+                        f" type-strict)")
         if not problems and value_hash(sdf) != value_hash(odf):
             problems.append("value-hash mismatch")
             # show a diff sample
