@@ -192,14 +192,22 @@ def resolve_url(base: "Column | str", href: "Column | str") -> "Column":
     reproducible in ANSI SQL, covering the four cases a crawl meets:
 
     - absolute (``scheme://...``) → as written
+    - non-hierarchical scheme (``mailto:x``, ``javascript:...``,
+      ``data:...`` — a scheme with no ``//``) → NULL: not fetchable, must
+      never become a frontier candidate or a link_host_edges self-edge
     - protocol-relative (``//host/...``) → base's scheme + href
     - root-relative (``/path``) → base's ``scheme://host`` + href
+    - query-only (``?a=1``) → base's origin+path (query/fragment
+      replaced) + href, as RFC 3986 §5.3 / urljoin resolve it
+    - fragment-only (``#top``) → NULL: same document, never a new
+      crawl candidate
     - path-relative (anything else) → base's directory + href
 
     Deliberate scope cut vs full RFC 3986: ``..``/``.`` dot segments are
     NOT collapsed (the canonicalizer's job downstream treats the path as
     opaque; two spellings of one path dedup via the fetched content
-    tier), and fragments are kept as written. NULL base or href → NULL.
+    tier), and fragments within a non-fragment-only href are kept as
+    written. NULL base or href → NULL.
     """
     b = F.col(base) if isinstance(base, str) else base
     h = F.col(href) if isinstance(href, str) else href
@@ -208,15 +216,21 @@ def resolve_url(base: "Column | str", href: "Column | str") -> "Column":
     # base directory: origin + path up to (and incl.) the last '/';
     # a path-less base resolves relative hrefs against origin + '/'
     path = F.regexp_extract(b, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    full_path = F.concat(origin, F.when(path == "", F.lit("/"))
+                         .otherwise(path))
     dir_ = F.concat(origin, F.when(
         path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, r"[^/]*$", "")))
+    null_str = F.lit(None).cast("string")
     out = (F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+           .when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), null_str)
            .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
            .when(h.startswith("/"), F.concat(origin, h))
+           .when(h.startswith("?"), F.concat(full_path, h))
+           .when(h.startswith("#"), null_str)
            .otherwise(F.concat(dir_, h)))
     return F.when(b.isNull() | h.isNull() | (origin == ""),
-                  F.lit(None).cast("string")).otherwise(out)
+                  null_str).otherwise(out)
 
 
 #: ``<loc>`` entries of a sitemap / sitemap-index document

@@ -107,22 +107,30 @@ def alternating_cc(edges: DataFrame, *, max_rounds: int = 30,
     ``checkpoint_dir``: when set, ``spark.sparkContext.setCheckpointDir``
     must already point there and every ``checkpoint_every`` rounds the
     edge set is reliably checkpointed (survives executor loss). When
-    None, ``localCheckpoint`` is used at the same cadence — blocks live
-    on executors without lineage, so an executor loss fails the job
-    instead of recomputing; fine single-node, pass a real dir on a
-    cluster.
+    None, the session's configured checkpoint dir
+    (``sparkContext.setCheckpointDir`` / ``getCheckpointDir``) is used
+    if one exists — an executor loss mid-CC on a cluster then recovers
+    instead of failing the job. Only with NO checkpoint dir anywhere
+    does it fall back to ``localCheckpoint`` — blocks live on executors
+    without lineage, so an executor loss fails the job instead of
+    recomputing; fine single-node.
     """
     cur = _canon(edges)
     if not cur.head(1):
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "node long, component long")
+        # preserve the caller's id type (string doc ids stay string) so
+        # downstream joins/coalesce in components() never compare the
+        # empty path's hardcoded long against the non-empty path's type
+        return cur.select(F.col("u").alias("node"),
+                          F.col("v").alias("component")).limit(0)
+    reliable = checkpoint_dir is not None or (
+        edges.sparkSession.sparkContext.getCheckpointDir() is not None)
     cur = cur.persist()
     prev_fp = _fingerprint(cur)
     prev_df = cur
     for rnd in range(max_rounds):
         nxt = _small_star(_large_star(prev_df))
         if (rnd + 1) % checkpoint_every == 0:
-            nxt = (nxt.checkpoint(eager=False) if checkpoint_dir
+            nxt = (nxt.checkpoint(eager=False) if reliable
                    else nxt.localCheckpoint(eager=False))
         nxt = nxt.persist()
         fp = _fingerprint(nxt)

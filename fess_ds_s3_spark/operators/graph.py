@@ -153,6 +153,12 @@ def authority_priority(frontier: DataFrame, ranks: DataFrame, *,
     r = ranks.select(F.col("host").alias(host_col),
                      F.col("rank").alias("_auth_rank"))
     bucket = F.shiftright(F.coalesce(F.col("_auth_rank"), F.lit(0)), 20)
+    # rank is bounded by ~n_hosts*scale, so a hub host fed by >~2000
+    # hosts at the default scale 10^12 pushes rank past 2^51 and the
+    # bucket past INT_MAX — clamp so the ANSI int cast can never fail
+    # the round (mega-hubs tie at the front of the queue, which is the
+    # intended order anyway)
+    bucket = F.least(bucket, F.lit(2 ** 31 - 1).cast("long"))
     return (frontier.join(r, host_col, "left")
             .withColumn(out_col, (-bucket).cast("int"))
             .drop("_auth_rank"))

@@ -616,6 +616,13 @@ class CrawlDriver:
           ``keep_last`` entries; on append-only tables this reclaims
           nothing until the matching ``compact_*`` resets the dir list —
           the Iceberg idiom (compact makes unreferenced, expire deletes).
+          The FRONTIER additionally protects every ledgered
+          ``frontier_snapshot`` id: those deltas are the committed read
+          path (``read_committed("frontier")`` → ``read_deltas``), i.e.
+          commit history like the sinks — expiring them would strand the
+          ledger on deleted snapshots. Post-compaction the frontier
+          therefore reclaims only ORPHAN deltas (crashed-attempt appends
+          whose ids never reached the ledger).
         - the ``seen`` table is read ONLY via ledgered deltas
           (committed_seen), so it expires in delta mode, protecting every
           ledgered seen-snapshot id newer than the seen checkpoint (and
@@ -632,13 +639,16 @@ class CrawlDriver:
         rounds; crash-safe at any point between rounds (manifest commits
         before any file deletion)."""
         out: dict[str, dict[str, int]] = {}
-        for name, table in (("frontier", self.frontier),
-                            ("listing", self.listing),
-                            ("schedule", self.schedule),
-                            ("robots", self.robots),
-                            ("seen_bloom", self.seen_bloom),
-                            ("seen_checkpoint", self.seen_checkpoint)):
-            out[name] = table.expire_snapshots(keep_last=keep_last)
+        frontier_ids, _ = self._ledgered("frontier_snapshot")
+        for name, table, protect in (
+                ("frontier", self.frontier, frontier_ids),
+                ("listing", self.listing, ()),
+                ("schedule", self.schedule, ()),
+                ("robots", self.robots, ()),
+                ("seen_bloom", self.seen_bloom, ()),
+                ("seen_checkpoint", self.seen_checkpoint, ())):
+            out[name] = table.expire_snapshots(keep_last=keep_last,
+                                               protect_ids=protect)
         ckpt_round = -1
         if self.seen_checkpoint.exists():
             ckpt_round = int(self.seen_checkpoint.metadata()
@@ -743,7 +753,13 @@ class CrawlDriver:
         base = self.frontier.read()
         rnd = (F.coalesce(F.col("round"), F.lit(0))
                if "round" in base.columns else F.lit(0))
-        w = Window.partitionBy("url").orderBy(rnd.asc(), F.col("url"))
+        # tiebreak within (url, round): same-round duplicate rows (a link
+        # discovered by several parents) must yield ONE deterministic
+        # winner across replays, or the re-appended row's ancillary
+        # columns (priority, parent fields) vary run to run — a value
+        # hash of the whole row is schema-agnostic and replay-stable
+        row_fp = F.xxhash64(F.struct(*[F.col(c) for c in base.columns]))
+        w = Window.partitionBy("url").orderBy(rnd.asc(), row_fp.asc())
         rows = (base.join(cand, "url", "left_semi")
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))

@@ -68,6 +68,21 @@ class TestAlternatingCC:
         df = spark.createDataFrame([], "u long, v long")
         assert clustering.alternating_cc(df).collect() == []
 
+    def test_empty_edges_preserve_id_type(self, spark):
+        """ADVICE r4: the empty-edge path used to hardcode a long schema,
+        so string doc ids hit an implicit string-vs-bigint cast in
+        components()'s join/coalesce."""
+        df = spark.createDataFrame([], "u string, v string")
+        out = clustering.alternating_cc(df)
+        assert [f.dataType.simpleString() for f in out.schema.fields] \
+            == ["string", "string"]
+        # end-to-end: components() over string ids with no edges
+        nodes = spark.createDataFrame([("d1",), ("d2",)], "doc_id string")
+        pairs = spark.createDataFrame([], "a string, b string")
+        got = {r.doc_id: r.component
+               for r in clustering.components(pairs, nodes).collect()}
+        assert got == {"d1": "d1", "d2": "d2"}
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_random_graph_matches_union_find(self, spark, seed):
         rng = random.Random(seed)

@@ -395,6 +395,9 @@ class TestVacuum:
         indexed_before = {(r.url, r.round) for r in
                           driver.read_committed("indexed")
                           .select("url", "round").collect()}
+        frontier_before = {(r.url, r.round) for r in
+                           driver.read_committed("frontier")
+                           .select("url", "round").collect()}
         bloom_dirs_before = self._count_dirs(driver, "seen_bloom")
 
         driver.compact_frontier()
@@ -411,6 +414,12 @@ class TestVacuum:
                          driver.read_committed("indexed")
                          .select("url", "round").collect()}
         assert indexed_after == indexed_before
+        # ADVICE r4: vacuum used to expire ledgered frontier snapshots,
+        # stranding read_committed("frontier") on a KeyError
+        frontier_after = {(r.url, r.round) for r in
+                          driver.read_committed("frontier")
+                          .select("url", "round").collect()}
+        assert frontier_after == frontier_before
 
         # the crawl continues: later rounds never re-admit vacuumed state
         more = driver.run(n_rounds=20)

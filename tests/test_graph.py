@@ -92,6 +92,20 @@ class TestHostAuthority:
                for r in graph.authority_priority(frontier, ranks).collect()}
         assert got["h"] < got["a"] < got["zz"] == 0
 
+    def test_authority_priority_mega_hub_clamps(self, spark):
+        """ADVICE r4: a hub fed by >~2000 hosts at scale 10^12 pushes
+        rank past 2^51 and shiftright(rank, 20) past INT_MAX — the ANSI
+        int cast then failed the round. The bucket must clamp."""
+        ranks = spark.createDataFrame(
+            [("hub", 3_000 * 10 ** 12), ("tiny", 10 ** 12)],
+            "host string, rank long")
+        frontier = spark.createDataFrame(
+            [("hub", "u1"), ("tiny", "u2")], "host string, url string")
+        got = {r.host: r.priority
+               for r in graph.authority_priority(frontier, ranks).collect()}
+        assert got["hub"] == -(2 ** 31 - 1)
+        assert got["hub"] < got["tiny"] < 0
+
     def test_validation(self, spark):
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError, match="divisible"):

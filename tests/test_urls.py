@@ -144,11 +144,34 @@ class TestResolveUrl:
     def test_urljoin_agreement_on_scope(self, spark):
         # within the documented scope (no dot segments), matches urllib
         from urllib.parse import urljoin
-        cases = [("https://h.example/a/b/c.html", h)
+        cases = [("https://h.example/a/b/c.html?old=1", h)
                  for h in ("https://x.example/q", "//y.example/p",
-                           "/abs/p.txt", "d/e.txt", "f.txt?q=2#frag")]
+                           "/abs/p.txt", "d/e.txt", "f.txt?q=2#frag",
+                           "?new=2")]
         got = self._resolve(spark, cases)
         assert got == [urljoin(b, h) for b, h in cases]
+
+    def test_query_fragment_and_opaque_schemes(self, spark):
+        """ADVICE r4: '?a=1' / '#top' / 'mailto:x' used to be treated as
+        path-relative, yielding malformed frontier candidates like
+        https://h/dir/mailto:x."""
+        base = "https://h.example/a/b/page.html?q=1"
+        got = self._resolve(spark, [
+            (base, "?a=1"),
+            ("https://h.example", "?a=1"),   # path-less base
+            (base, "#top"),
+            (base, "mailto:someone@example.org"),
+            (base, "javascript:void(0)"),
+            (base, "data:text/plain;base64,aGk="),
+            # scheme-LIKE but actually path-relative (colon after slash)
+            (base, "x/y:z.txt"),
+        ])
+        assert got == [
+            "https://h.example/a/b/page.html?a=1",
+            "https://h.example/?a=1",
+            None, None, None, None,
+            "https://h.example/a/b/x/y:z.txt",
+        ]
 
 
 class TestSitemapUrls:
