@@ -572,6 +572,24 @@ def q_asof_events(spark, sf_dir):
     return asof_join(ev, snap, on="user_id")
 
 
+def q_asof_salted(spark, sf_dir):
+    """Skew-safe as-of join (operators/asof.py time_slices>1): the same
+    backward as-of as asof_events but through the range-partitioned
+    path — each user's time axis is cut into 8 contiguous slices, the
+    window runs per (user, slice), and slice boundaries are bridged by
+    a cascaded last-right-row seed. Output must be bit-identical to the
+    unsalted window (and to DuckDB's native ASOF LEFT JOIN oracle);
+    max window-task input shrinks ~8x on a whale user."""
+    from fess_ds_s3_spark.operators.asof import asof_join
+    from fess_ds_s3_spark.operators.sessions import _micros
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id",
+                  _micros("ts", "2024-01-01 00:00:00").alias("us")))
+    snap = (ev.filter(F.col("event_id") % 10 == 0)
+            .select("user_id", "us", F.col("event_id").alias("snap_id")))
+    return asof_join(ev, snap, on="user_id", time_slices=8)
+
+
 def q_sitemap_seed(spark, sf_dir):
     """Sitemap parsing (functions/urls.sitemap_urls): each frontier row
     becomes a two-<loc> sitemap (its own URL + a mirror URL with
@@ -978,6 +996,35 @@ def q_recrawl_schedule(spark, sf_dir):
     return inc.change_rate_priority(hist, base_interval=8)
 
 
+def q_schedule_fold(spark, sf_dir):
+    """Incremental adaptive-schedule fold (operators/incremental.
+    update_schedule): three cycles of listing diffs folded one at a
+    time into the running (n_obs, n_mod, last_cycle) state — the
+    O(change-rate) twin of the batch aggregate for crawls that cannot
+    retain raw history. Labels per cycle mirror recrawl_schedule's
+    deterministic history (first obs at 1 + doc_id%2, 'modified' when
+    (doc_id+cycle)%3==0, 'deleted' at cycle 3 for doc_id%17==0 — those
+    keys LEAVE the folded schedule). Oracle: the batch aggregate over
+    the concatenated 3-cycle history minus deleted keys."""
+    from fess_ds_s3_spark.operators import incremental as inc
+    f = _frontier(spark, sf_dir)
+    first = (F.col("doc_id") % 2 + 1).cast("int")
+    base = f.select("bucket", "key", "doc_id",
+                    first.alias("first_cycle"))
+    sched = None
+    for cycle in (1, 2, 3):
+        change = (F.when(F.col("first_cycle") == cycle, F.lit("added"))
+                  .when((F.lit(cycle) == 3) & (F.col("doc_id") % 17 == 0),
+                        F.lit("deleted"))
+                  .when((F.col("doc_id") + cycle) % 3 == 0,
+                        F.lit("modified"))
+                  .otherwise(F.lit("unchanged")))
+        diff = (base.filter(F.col("first_cycle") <= cycle)
+                .select("bucket", "key", change.alias("change")))
+        sched = inc.update_schedule(sched, diff, cycle, base_interval=8)
+    return sched
+
+
 def q_prefetch_dedup(spark, sf_dir):
     """Pre-fetch content-identity dedup (operators/dedup.prefetch_dedup):
     route admitted candidates to fetch / copy_known / copy_batch on
@@ -1288,7 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fixed this round (r4 driver RED: oracle HUGEINT vs BIGINT) --
         "sessionize": q_sessionize,
         # -- new in round 5 --
-        # (slot: new entries are inserted here so they land in-window)
+        "asof_salted": q_asof_salted,
+        "schedule_fold": q_schedule_fold,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1377,7 +1425,7 @@ def oracle_sql() -> dict[str, str]:
                 THEN 'MaxLengthExceededException' END AS error_name
     FROM admitted
     """
-    return {
+    out = {
         "bucket_catalog": FRONTIER_CTE + """
             SELECT bucket, count(*) AS n_objects, min(key) AS first_key
             FROM frontier GROUP BY bucket ORDER BY bucket""",
@@ -2572,4 +2620,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref, CAST(count(*) AS BIGINT) AS ref_count,
                    min(doc_id) AS first_doc
             FROM refs GROUP BY media_ref""",
+        # salted as-of must be bit-identical to the unsalted path, so it
+        # shares the native ASOF-join oracle verbatim (installed below)
+        "schedule_fold": FRONTIER_CTE + """,
+            obs AS (
+              SELECT bucket, key, doc_id,
+                     1 + doc_id % 2 AS first_cycle, c.cycle
+              FROM frontier,
+                   (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS cycle) c
+              WHERE c.cycle >= 1 + doc_id % 2
+            ),
+            labeled AS (
+              SELECT bucket, key, cycle,
+                     CASE WHEN cycle = first_cycle THEN 'added'
+                          WHEN cycle = 3 AND doc_id % 17 = 0 THEN 'deleted'
+                          WHEN (doc_id + cycle) % 3 = 0 THEN 'modified'
+                          ELSE 'unchanged' END AS change
+              FROM obs
+            ),
+            -- fold semantics: a 'deleted' diff row removes the key from
+            -- the running schedule entirely (unlike the batch aggregate,
+            -- which only drops the deleted observation row)
+            agg AS (
+              SELECT bucket, key,
+                     COUNT(*) AS n_obs,
+                     CAST(SUM(CASE WHEN change IN ('modified', 'added')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mod,
+                     MAX(cycle) AS last_cycle
+              FROM labeled
+              WHERE change <> 'deleted'
+                AND NOT EXISTS (
+                  SELECT 1 FROM labeled d
+                  WHERE d.bucket = labeled.bucket
+                    AND d.key = labeled.key AND d.change = 'deleted')
+              GROUP BY bucket, key
+            ),
+            rated AS (
+              SELECT *, CAST(n_mod + 1 AS DOUBLE)
+                        / CAST(n_obs + 2 AS DOUBLE) AS rate
+              FROM agg
+            ),
+            sched AS (
+              SELECT *,
+                     LEAST(CAST(64 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                       CAST(ROUND(CAST(8 AS DOUBLE) * (1 - rate) / rate)
+                            AS BIGINT))) AS recrawl_interval
+              FROM rated
+            )
+            SELECT bucket, key, n_obs, n_mod, last_cycle,
+                   rate AS change_rate, recrawl_interval,
+                   last_cycle + recrawl_interval AS next_cycle,
+                   rate AS priority
+            FROM sched""",
     }
+    out["asof_salted"] = out["asof_events"]
+    return out
