@@ -136,7 +136,8 @@ class CrawlDriver:
                  conditional_fetch: bool = False,
                  robots_round_seconds: float = 60.0,
                  use_authority: bool = False,
-                 authority_iterations: int = 3):
+                 authority_iterations: int = 3,
+                 use_prefetch_dedup: bool = False):
         if per_round_cap is not None and per_round_cap <= 0:
             raise ValueError("per_round_cap must be positive or None")
         if conditional_fetch and object_store_root is None:
@@ -154,6 +155,13 @@ class CrawlDriver:
         # via mergeSchema and fetch unconditionally)
         self.conditional_fetch = conditional_fetch
         self.robots_round_seconds = robots_round_seconds
+        # pre-fetch content-identity dedup (operators/dedup.prefetch_dedup):
+        # admitted rows whose (e_tag, size) matches an already-indexed row
+        # (or an in-batch twin) copy content instead of issuing the GET —
+        # the cheapest dedup tier, it never fetches. Opt-in: the copy
+        # re-materializes known content from the stored extracted text,
+        # which is exact for UTF-8 objects (see plans/round.process).
+        self.use_prefetch_dedup = use_prefetch_dedup
         self.catalog = Catalog(spark, warehouse)
         self.frontier = self.catalog.table("frontier")
         self.seen = self.catalog.table("seen")
@@ -433,6 +441,20 @@ class CrawlDriver:
         # (legacy/seed-only frontiers lack the column → unconditional)
         inm_col = ("prev_etag" if self.conditional_fetch
                    and "prev_etag" in frontier_df.columns else None)
+        prefetch_known = None
+        if self.use_prefetch_dedup and (payloads is not None
+                                        or self.object_store_root is not None):
+            if self.indexed.exists():
+                # committed rows only — an orphan append must not become
+                # a copy source (same invisibility rule as every read)
+                prefetch_known = (self.read_committed("indexed")
+                                  .select("e_tag", "size", "url",
+                                          "resp_content_type", "contents"))
+            else:
+                # round 0: in-batch twins still dedup against each other
+                prefetch_known = self.spark.createDataFrame(
+                    [], "e_tag string, size long, url string, "
+                        "resp_content_type string, contents string")
         result = round_plan.run_round(
             frontier_df, cfg, payloads=payloads,
             object_store_root=self.object_store_root,
@@ -445,7 +467,8 @@ class CrawlDriver:
             # O2: optional per-round admission cap (engine knob; None =
             # admit everything budgets allow, reference-outcome-equivalent)
             global_cap=self.per_round_cap,
-            bloom_size_bytes=bloom_size)
+            bloom_size_bytes=bloom_size,
+            prefetch_known=prefetch_known)
 
         observed, obs = lineage_ops.observe_round(result.processed)
         # Cache the small admitted batch: it feeds 5 writes below.

@@ -318,6 +318,37 @@ class _FlakyStore:
         return getattr(self._inner, name)
 
 
+class _CountingStore:
+    """Append one line per GET to a shared log file — lets a test count
+    exactly how many GETs reached the store across all tasks (local-mode
+    tasks share the filesystem; O_APPEND keeps small writes atomic)."""
+
+    def __init__(self, inner, log_path: str):
+        self._inner = inner
+        self._log_path = log_path
+
+    def get_object(self, bucket: str, key: str, **kw) -> tuple[bytes, str]:
+        with open(self._log_path, "a") as fh:
+            fh.write(f"{bucket}/{key}\n")
+        return self._inner.get_object(bucket, key, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+@dataclass(frozen=True)
+class CountingFsStoreSpec:
+    """FsObjectStore that logs every GET to ``log_path`` — the evidence
+    double for fetch-avoidance features (prefetch identity dedup,
+    conditional GETs): count the log's lines to know how many GETs the
+    crawl actually issued."""
+    root: str
+    log_path: str
+
+    def connect(self) -> _CountingStore:
+        return _CountingStore(FsObjectStore(self.root), self.log_path)
+
+
 @dataclass(frozen=True)
 class FlakyFsStoreSpec:
     """FsObjectStore whose every GET fails ``fail_times`` times before
