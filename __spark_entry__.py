@@ -766,7 +766,11 @@ def q_decode_media(spark, sf_dir):
     media = d.select(
         F.concat(F.lit("m-"), F.col("doc_id")).alias("media_id"),
         F.encode("text", "utf-8").alias("content"))
-    return (multimodal.decode_media(media)
+    # pin the fixture kernel: decode_media's default auto-selects a real
+    # PIL kernel when Pillow is importable, which must never change the
+    # oracle's sha256-derived values
+    return (multimodal.decode_media(media,
+                                    decoder=multimodal._fake_decode)
             .select("media_id", "media_type", "width", "height",
                     "decode_error"))
 

@@ -49,7 +49,9 @@ DECODED_SCHEMA = StructType([
 def _fake_decode(blob: bytes) -> dict:
     """Deterministic stand-in for a real image/audio decoder: all outputs
     are pure functions of the bytes (sha256), so tests are reproducible.
-    Replace with a real decoder callable in production."""
+    This is also the gate-entry oracle fixture — entries pin it
+    explicitly so an environment that happens to have Pillow cannot
+    change oracle values."""
     digest = hashlib.sha256(blob).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
@@ -57,6 +59,36 @@ def _fake_decode(blob: bytes) -> dict:
     feat = (vec[:FEATURE_DIM].astype(np.float32) / 255.0).tolist()
     return {"media_type": "image", "width": int(width), "height": int(height),
             "feature": feat, "decode_error": None}
+
+
+def pil_decode(blob: bytes) -> dict:
+    """Real image decode kernel behind the pluggable seam: PIL open +
+    size + a FEATURE_DIM-long normalized grayscale thumbnail feature
+    (4×4 = FEATURE_DIM pixels). Raises on a corrupt blob — decode_media's
+    per-row error capture turns that into a ``decode_error`` row."""
+    import io
+    from PIL import Image
+    img = Image.open(io.BytesIO(bytes(blob)))
+    img.load()
+    w, h = img.size
+    thumb = img.convert("L").resize((4, 4))
+    feat = [float(p) / 255.0 for p in thumb.getdata()]
+    return {"media_type": "image", "width": int(w), "height": int(h),
+            "feature": feat, "decode_error": None}
+
+
+def default_decoder() -> Callable[[bytes], dict]:
+    """Kernel auto-selection: :func:`pil_decode` when Pillow is
+    importable, the deterministic :func:`_fake_decode` otherwise (this
+    container ships no imaging libs). Selection happens on the DRIVER at
+    plan-build time and the chosen callable is cloudpickled to executors
+    — on a cluster, install Pillow on executors too or the tasks fail at
+    import."""
+    try:
+        import PIL.Image  # noqa: F401
+        return pil_decode
+    except ImportError:
+        return _fake_decode
 
 
 def decode_media(df: DataFrame, *, id_col: str = "media_id",
@@ -68,14 +100,15 @@ def decode_media(df: DataFrame, *, id_col: str = "media_id",
     Real plumbing: Arrow batch iteration, per-row error capture (a corrupt
     blob yields a ``decode_error`` row, never a task failure — E2/E3
     parity), stable output schema. The decode kernel is pluggable;
-    ``None`` → deterministic fake (this container has no image/audio libs).
+    ``None`` → :func:`default_decoder` auto-selection (PIL-backed when
+    Pillow is importable, the deterministic sha256 fake otherwise).
 
     Scale note: media rows are wide — repartition upstream so a batch of
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows fits executor
     memory, and select only (id, content) into this stage (late
     materialization of other columns via join on id afterwards).
     """
-    kernel = decoder or _fake_decode
+    kernel = decoder or default_decoder()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

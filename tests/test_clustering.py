@@ -119,3 +119,27 @@ class TestKeepCanonical:
         kept = sorted(r.doc_id for r in
                       clustering.keep_canonical(docs, pairs).collect())
         assert kept == [1, 9]
+
+
+class TestReliableCheckpoint:
+    def test_session_checkpoint_dir_switches_to_reliable(self, spark,
+                                                         tmp_path_factory):
+        """VERDICT r4 ask #5: with a checkpoint dir configured on the
+        session, alternating_cc must reliably checkpoint (survives
+        executor loss on a cluster) instead of localCheckpoint. Evidence:
+        RDD checkpoint files land in the dir and the result is exact.
+        NOTE: the session fixture is shared — the checkpoint dir stays
+        configured for the rest of the session, which only makes later
+        CC runs reliable too."""
+        import os
+        ckdir = str(tmp_path_factory.mktemp("cc-ckpt"))
+        spark.sparkContext.setCheckpointDir(ckdir)
+        assert spark.sparkContext.getCheckpointDir() is not None
+        # a long chain needs multiple rounds -> crosses checkpoint_every
+        edges = [(i, i + 1) for i in range(40)]
+        got = _cc_spark(spark, edges)
+        assert got == {i: 0 for i in range(41)}
+        ckpt_files = []
+        for root, _dirs, files in os.walk(ckdir):
+            ckpt_files += [os.path.join(root, f) for f in files]
+        assert ckpt_files, "no reliable checkpoint data was written"

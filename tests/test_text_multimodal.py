@@ -96,14 +96,16 @@ class TestMultimodal:
         rows = [("m0", b"fake image bytes"), ("m1", b"other bytes"),
                 ("m2", None)]
         df = spark.createDataFrame(rows, "media_id string, content binary")
-        out = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+        out = {r.media_id: r for r in multimodal.decode_media(
+            df, decoder=multimodal._fake_decode).collect()}
         assert out["m0"].media_type == "image"
         assert out["m0"].width >= 16 and out["m0"].height >= 16
         assert len(out["m0"].feature) == multimodal.FEATURE_DIM
         # determinism: same bytes → same decode
         df2 = spark.createDataFrame([("z", b"fake image bytes")],
                                     "media_id string, content binary")
-        again = multimodal.decode_media(df2).collect()[0]
+        again = multimodal.decode_media(
+            df2, decoder=multimodal._fake_decode).collect()[0]
         assert again.width == out["m0"].width
         assert list(again.feature) == list(out["m0"].feature)
         # null content → error row, not crash
@@ -116,6 +118,44 @@ class TestMultimodal:
                                    "media_id string, content binary")
         out = multimodal.decode_media(df, decoder=bad_kernel).collect()[0]
         assert "ValueError" in out.decode_error
+
+    def test_kernel_auto_selection(self, monkeypatch):
+        """default_decoder picks the PIL kernel iff Pillow imports; the
+        sha256 fake is the no-dep fallback (VERDICT r4 ask #4)."""
+        import sys
+        # this container has no Pillow → fallback
+        assert "PIL" not in sys.modules
+        assert multimodal.default_decoder() is multimodal._fake_decode
+        # fake a minimal Pillow → the real kernel is selected and works
+        import types
+
+        class _FakeImg:
+            size = (640, 480)
+
+            def load(self):
+                pass
+
+            def convert(self, mode):
+                return self
+
+            def resize(self, wh):
+                return self
+
+            def getdata(self):
+                return list(range(16))
+
+        image_mod = types.ModuleType("PIL.Image")
+        image_mod.open = lambda fh: _FakeImg()
+        pil_mod = types.ModuleType("PIL")
+        pil_mod.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+        assert multimodal.default_decoder() is multimodal.pil_decode
+        d = multimodal.pil_decode(b"anything")
+        assert (d["media_type"], d["width"], d["height"]) \
+            == ("image", 640, 480)
+        assert len(d["feature"]) == multimodal.FEATURE_DIM
+        assert d["feature"][15] == 15 / 255.0
 
     def test_resize_plan(self, spark):
         df = spark.createDataFrame([(100, 50), (30, 60)],
