@@ -79,7 +79,10 @@ BENCH_DIR = "/tmp/spark-graft-bench"
 
 HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
             "dedup_exact", "token_count", "cosine_topk", "minhash_lsh",
-            "corpus_curate", "curate_sample_cap", "pack_sequences"]
+            "corpus_curate", "curate_sample_cap", "pack_sequences",
+            # round 5: the skew-safe as-of path (new headline — totals are
+            # not comparable to r4's 11-query total; per-query rows are)
+            "asof_salted"]
 
 
 def _session(cores: int, *, aqe: bool = True,

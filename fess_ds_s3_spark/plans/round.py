@@ -210,7 +210,11 @@ def process(admitted: DataFrame, cfg: CrawlConfig,
     columns exist through the chain but are dropped by the final
     objectMap projection (P5's fixed field surface) — the observable
     contract is the GET count (CountingFsStoreSpec) and the unchanged
-    stored output.
+    stored output. Interplay with conditional GETs
+    (``if_none_match_col``): identity routing runs FIRST, so a
+    copy_known row skips its conditional GET and re-stores instead of
+    304-ing — same content either way; a copy_batch row inherits its
+    twin's 304 (``_not_modified``) and routes "unchanged" with it.
 
     Routing order for fetched rows mirrors the reference exactly:
     urlFilter (E1) → robots (E1, when ``robots_rules`` is given — north-rule
