@@ -1300,6 +1300,54 @@ def q_fetch_conditional(spark, sf_dir):
         F.md5("content").alias("content_md5"))
 
 
+#: data-mixture gate parameters: src0's allocation exceeds its corpus
+#: (keep-all branch), src1-src5 get fractional rates, src6-src19 are
+#: unlisted (dropped) — every branch of the threshold math is exercised.
+_MIX_WEIGHTS = {"src0": 60, "src1": 5, "src2": 3, "src3": 1,
+                "src4": 2, "src5": 1}
+_MIX_BUDGET = 30000
+
+
+def q_mix_plan(spark, sf_dir):
+    """Data-mixture plan (plans/mix.py): per-source token totals → the
+    32-bit hash-sampling threshold that delivers ``weight/Σweights *
+    token_budget`` tokens from each source (capped at one epoch — no
+    upsampling). The rate math is two fixed-shape IEEE-double ops, so
+    the DuckDB oracle lands on the identical integer threshold; the
+    zero-token and over-allocated branches resolve to explicit
+    keep-all rather than relying on engine-divergent ``x / 0.0``."""
+    from fess_ds_s3_spark.plans.mix import mix_plan
+    return mix_plan(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Data-mixture application (plans/mix.py): content-keyed hash
+    sample at each source's planned rate — the training-recipe stage
+    that turns a curated crawl into a weighted corpus. One partial-agg
+    shuffle to ~#sources rows, broadcast join back, one filter; the
+    kept set is a pure function of (doc_id, seed, per-source totals),
+    bit-identical in the DuckDB oracle."""
+    from fess_ds_s3_spark.plans.mix import mix_corpus
+    return mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET,
+                      seed="r5")
+
+
+def q_funnel_report(spark, sf_dir):
+    """Curation-funnel observability (plans/curate.funnel_report): per
+    stage (input → lang → length → stopword → dedup) the surviving
+    document count and token mass, computed in ONE pass as conditional
+    aggregates inside a single fingerprint groupBy. Input is documents
+    plus an exact-duplicate copy of every 3rd doc (id-shifted), so the
+    dedup stage's distinct-fingerprint count and min-id-winner token
+    mass diverge from stage 4 and get a real oracle check."""
+    from fess_ds_s3_spark.plans.curate import funnel_report
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = (d.filter(F.col("doc_id") % 3 == 0)
+           .select((F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+                   "text"))
+    return funnel_report(d.unionByName(dup))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1341,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "asof_salted": q_asof_salted,
         "schedule_fold": q_schedule_fold,
+        "mix_plan": q_mix_plan,
+        "mix_corpus": q_mix_corpus,
+        "funnel_report": q_funnel_report,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -2678,4 +2729,119 @@ def oracle_sql() -> dict[str, str]:
             FROM sched""",
     }
     out["asof_salted"] = out["asof_events"]
+    # Data-mixture oracles: the threshold is two fixed-shape IEEE-double
+    # ops over compile-time literals (repr round-trips the exact double),
+    # so DuckDB reproduces Spark's integer threshold bit-for-bit; keep
+    # decisions are the sampling module's md5-hex comparison.
+    mix_w = sum(_MIX_WEIGHTS.values())
+    numer_case = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {float(w * _MIX_BUDGET * 2**32)!r}"
+        for s, w in _MIX_WEIGHTS.items()) + " ELSE 0.0 END")
+    weight_case = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {w}"
+        for s, w in _MIX_WEIGHTS.items()) + " ELSE 0 END")
+    ratio = (f"({numer_case}) / (CAST(src_tokens AS DOUBLE) "
+             f"* {float(mix_w)!r})")
+    mix_cte = f"""
+        toks AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(tok) AS BIGINT) AS src_tokens
+          FROM toks GROUP BY source
+        ),
+        plan AS (
+          SELECT source, CAST({weight_case} AS BIGINT) AS weight,
+                 src_tokens,
+                 CAST(CASE WHEN src_tokens <= 0 THEN 4294967296
+                      WHEN {ratio} >= 4294967296.0 THEN 4294967296
+                      ELSE CAST(FLOOR({ratio}) AS BIGINT)
+                      END AS BIGINT) AS sample_threshold
+          FROM tot
+        )"""
+    out["mix_plan"] = f"""
+        WITH {mix_cte}
+        SELECT source, weight, src_tokens, sample_threshold FROM plan"""
+    out["mix_corpus"] = f"""
+        WITH {mix_cte}
+        SELECT d.doc_id, d.source, d.tok AS tokens,
+               p.src_tokens, p.sample_threshold
+        FROM toks d JOIN plan p USING (source)
+        WHERE CASE WHEN p.sample_threshold >= 4294967296
+                   THEN d.doc_id IS NOT NULL
+              ELSE substr(md5(CAST(d.doc_id AS VARCHAR) || 'r5'), 1, 8)
+                   < printf('%08x', p.sample_threshold) END"""
+    out["funnel_report"] = r"""
+        WITH src AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text FROM documents
+          WHERE doc_id % 3 = 0
+        ),
+        raw AS (
+          SELECT doc_id, text,
+            len(regexp_extract_all(lower(text),
+                '\b(?:the|and|of|to|is)\b')) AS s_en,
+            len(regexp_extract_all(lower(text),
+                '\b(?:der|die|und|nicht|das)\b')) AS s_de,
+            len(regexp_extract_all(lower(text),
+                '\b(?:le|la|et|les|des)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text),
+                '\b(?:el|los|las|una|que)\b')) AS s_es,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS BIGINT) AS ws_tokens,
+            len(regexp_extract_all(lower(text),
+             '\b(?:the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b'
+                )) AS stop_hits
+          FROM src
+        ),
+        m AS (
+          SELECT doc_id, ws_tokens, stop_hits,
+             CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+                  ELSE 'es' END AS lang_guess,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM raw
+        ),
+        flags AS (
+          SELECT fp, ws_tokens, doc_id,
+             (lang_guess IN ('en')) AS f_lang,
+             (lang_guess IN ('en') AND ws_tokens >= 20) AS f_len,
+             (lang_guess IN ('en') AND ws_tokens >= 20
+              AND stop_hits * 50 >= ws_tokens * 1) AS f_stop
+          FROM m
+        ),
+        g AS (
+          SELECT fp,
+            COUNT(*) AS n_all, COALESCE(SUM(ws_tokens), 0) AS t_all,
+            COUNT(*) FILTER (WHERE f_lang) AS n_lang,
+            COALESCE(SUM(ws_tokens) FILTER (WHERE f_lang), 0) AS t_lang,
+            COUNT(*) FILTER (WHERE f_len) AS n_len,
+            COALESCE(SUM(ws_tokens) FILTER (WHERE f_len), 0) AS t_len,
+            COUNT(*) FILTER (WHERE f_stop) AS n_kept,
+            COALESCE(SUM(ws_tokens) FILTER (WHERE f_stop), 0) AS t_kept,
+            arg_min(ws_tokens, doc_id) FILTER (WHERE f_stop) AS w_tok
+          FROM flags GROUP BY fp
+        )
+        SELECT '1_input' AS stage, CAST(COALESCE(SUM(n_all),0) AS BIGINT)
+               AS docs, CAST(COALESCE(SUM(t_all),0) AS BIGINT) AS tokens
+        FROM g
+        UNION ALL SELECT '2_lang', CAST(COALESCE(SUM(n_lang),0) AS BIGINT),
+               CAST(COALESCE(SUM(t_lang),0) AS BIGINT) FROM g
+        UNION ALL SELECT '3_length', CAST(COALESCE(SUM(n_len),0) AS BIGINT),
+               CAST(COALESCE(SUM(t_len),0) AS BIGINT) FROM g
+        UNION ALL SELECT '4_stopword',
+               CAST(COALESCE(SUM(n_kept),0) AS BIGINT),
+               CAST(COALESCE(SUM(t_kept),0) AS BIGINT) FROM g
+        UNION ALL SELECT '5_dedup',
+               CAST(COUNT(*) FILTER (WHERE n_kept > 0) AS BIGINT),
+               CAST(COALESCE(SUM(w_tok) FILTER (WHERE n_kept > 0), 0)
+                    AS BIGINT) FROM g"""
     return out

@@ -234,3 +234,68 @@ def curate_interleaved(docs: DataFrame, *,
             .agg(winner, F.count(F.lit(1)).alias("dup_count"))
             .select("fp", *[f"_w.{f}" for f in winner_fields],
                     "dup_count"))
+
+
+def funnel_report(docs: DataFrame, *,
+                  langs: Sequence[str] = ("en",),
+                  min_tokens: int = 20,
+                  min_stopword: tuple[int, int] = (1, 50),
+                  text: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Observability for the :func:`curate_corpus` funnel: one row per
+    stage with the documents and token mass surviving it —
+    ``(stage, docs, tokens)`` for stages ``1_input``, ``2_lang``,
+    ``3_length``, ``4_stopword`` (cumulative filters, same predicates
+    and integer cross-multiplication as the funnel itself) and
+    ``5_dedup`` (distinct fingerprints among the kept rows; token mass
+    is the min-``id_col`` survivor's, matching the funnel's winner
+    rule).  A curation run over a 100 TB crawl is judged by exactly
+    this table — where the corpus shrank, and how many tokens each
+    gate cost (the reference's crawl stats counter, AmazonS3DataStore's
+    per-object callback tally, stops at object counts).
+
+    Scale shape: ONE pass — every per-stage count/sum is a conditional
+    aggregate inside a single ``groupBy(fp)`` (map-side combinable;
+    the shuffle moves ~one row per distinct fingerprint), followed by a
+    one-row global reduce unpivoted to the 5-stage report.  The corpus
+    is never scanned twice and no stage materializes an intermediate.
+    """
+    num, den = min_stopword
+    scored = docs.select(
+        F.col(id_col).alias("_id"),
+        T.lang_id(text).alias("_lang"),
+        T.token_count_ws(text).alias("_tok"),
+        T.stopword_hits(text).alias("_hits"),
+        T.fingerprint_md5(text).alias("fp"))
+    f_lang = F.col("_lang").isin(*langs)
+    f_len = f_lang & (F.col("_tok") >= F.lit(min_tokens))
+    f_stop = f_len & (F.col("_hits") * F.lit(den)
+                      >= F.col("_tok") * F.lit(num))
+    zero = F.lit(0).cast("long")
+
+    def stage(flag, tag):
+        return [F.count(F.when(flag, F.lit(1))).alias(f"n_{tag}"),
+                F.coalesce(F.sum(F.when(flag, F.col("_tok"))), zero)
+                .alias(f"t_{tag}")]
+
+    per_fp = scored.groupBy("fp").agg(
+        *stage(F.lit(True), "all"), *stage(f_lang, "lang"),
+        *stage(f_len, "len"), *stage(f_stop, "kept"),
+        F.min(F.when(f_stop, F.struct("_id", "_tok"))).alias("_w"))
+    kept_fp = F.col("n_kept") > 0
+    report = per_fp.agg(
+        F.sum("n_all").alias("d1"), F.sum("t_all").alias("t1"),
+        F.sum("n_lang").alias("d2"), F.sum("t_lang").alias("t2"),
+        F.sum("n_len").alias("d3"), F.sum("t_len").alias("t3"),
+        F.sum("n_kept").alias("d4"), F.sum("t_kept").alias("t4"),
+        F.count(F.when(kept_fp, F.lit(1))).alias("d5"),
+        F.coalesce(F.sum(F.when(kept_fp, F.col("_w._tok"))), zero)
+        .alias("t5"))
+    stacked = report.selectExpr(
+        "stack(5, '1_input', d1, t1, '2_lang', d2, t2, "
+        "'3_length', d3, t3, '4_stopword', d4, t4, '5_dedup', d5, t5) "
+        "AS (stage, docs, tokens)")
+    return stacked.select(
+        "stage", F.coalesce(F.col("docs"), F.lit(0)).cast("long")
+        .alias("docs"), F.coalesce(F.col("tokens"), F.lit(0))
+        .cast("long").alias("tokens"))

@@ -1,0 +1,167 @@
+"""Corpus mixing (plans/mix.py) and funnel observability
+(plans/curate.funnel_report)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fess_ds_s3_spark.plans.mix import _SPACE, mix_corpus, mix_plan
+from fess_ds_s3_spark.plans.curate import funnel_report
+
+WEIGHTS = {"web": 3, "wiki": 1, "code": 2}
+BUDGET = 500
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # web: plentiful (gets a fractional rate), wiki: scarce (keep-all),
+    # code: zero tokens (keep-all by the explicit branch),
+    # junk: not in WEIGHTS (dropped)
+    rows = []
+    did = 0
+    for src, n, tok in [("web", 400, 25), ("wiki", 4, 30),
+                        ("code", 3, 0), ("junk", 10, 10)]:
+        for _ in range(n):
+            rows.append((did, src, " ".join(["w"] * tok) if tok else ""))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def _expected_threshold(w: int, budget: int, src_tokens: int,
+                        total_w: int) -> int:
+    if src_tokens <= 0:
+        return _SPACE
+    ratio = float(w * budget * _SPACE) / (float(src_tokens)
+                                          * float(total_w))
+    return _SPACE if ratio >= _SPACE else int(ratio // 1)
+
+
+class TestMixPlan:
+    def test_thresholds(self, spark, corpus):
+        plan = {r.source: r for r in
+                mix_plan(corpus, WEIGHTS, BUDGET).collect()}
+        assert set(plan) == {"web", "wiki", "code", "junk"}
+        w = sum(WEIGHTS.values())
+        assert plan["web"].src_tokens == 400 * 25
+        assert plan["web"].sample_threshold == _expected_threshold(
+            3, BUDGET, 10000, w)
+        assert 0 < plan["web"].sample_threshold < _SPACE
+        # wiki: 120 tokens but allocation 1/6*500 ≈ 83 — hmm, rate < 1
+        assert plan["wiki"].sample_threshold == _expected_threshold(
+            1, BUDGET, 120, w)
+        assert plan["code"].sample_threshold == _SPACE  # zero tokens
+        assert plan["junk"].weight == 0
+        assert plan["junk"].sample_threshold == 0
+
+    def test_bad_args(self, spark, corpus):
+        with pytest.raises(ValueError):
+            mix_plan(corpus, {}, 10)
+        with pytest.raises(ValueError):
+            mix_plan(corpus, {"web": -1}, 10)
+        with pytest.raises(ValueError):
+            mix_plan(corpus, WEIGHTS, -5)
+
+
+class TestMixCorpus:
+    def test_matches_manual_recomputation(self, spark, corpus):
+        kept = {r.doc_id: r for r in
+                mix_corpus(corpus, WEIGHTS, BUDGET, seed="s1").collect()}
+        plan = {r.source: r.sample_threshold for r in
+                mix_plan(corpus, WEIGHTS, BUDGET).collect()}
+        for row in corpus.collect():
+            thr = plan[row.source]
+            if thr >= _SPACE:
+                expect = True
+            else:
+                hex8 = hashlib.md5(
+                    f"{row.doc_id}s1".encode()).hexdigest()[:8]
+                expect = hex8 < format(thr, "08x")
+            assert (row.doc_id in kept) == expect, row
+
+    def test_zero_token_source_kept_whole(self, spark, corpus):
+        kept = mix_corpus(corpus, WEIGHTS, BUDGET).collect()
+        assert len([r for r in kept if r.source == "code"]) == 3
+
+    def test_unweighted_source_dropped(self, spark, corpus):
+        kept = mix_corpus(corpus, WEIGHTS, BUDGET).collect()
+        assert not [r for r in kept if r.source == "junk"]
+
+    def test_stable_under_repartition(self, spark, corpus):
+        a = {r.doc_id for r in
+             mix_corpus(corpus, WEIGHTS, BUDGET).collect()}
+        b = {r.doc_id for r in
+             mix_corpus(corpus.repartition(13), WEIGHTS,
+                        BUDGET).collect()}
+        assert a == b
+
+    def test_seed_draws_independent_samples(self, spark, corpus):
+        a = {r.doc_id for r in
+             mix_corpus(corpus, WEIGHTS, BUDGET, seed="x").collect()}
+        b = {r.doc_id for r in
+             mix_corpus(corpus, WEIGHTS, BUDGET, seed="y").collect()}
+        assert a != b  # 400 web docs at a fractional rate — collision
+        # of the full sets across seeds is astronomically unlikely
+
+    def test_token_mass_tracks_targets(self, spark):
+        # large-ish uniform corpus: kept token mass per source should
+        # land near weight/W * budget (binomial concentration)
+        rows = [(i, "web" if i % 2 else "wiki", " ".join(["w"] * 10))
+                for i in range(4000)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        budget = 8000
+        kept = mix_corpus(docs, {"web": 3, "wiki": 1}, budget).collect()
+        mass = {}
+        for r in kept:
+            mass[r.source] = mass.get(r.source, 0) + r.tokens
+        assert mass["web"] == pytest.approx(6000, rel=0.15)
+        assert mass["wiki"] == pytest.approx(2000, rel=0.15)
+
+    def test_single_pass_plan(self, spark, corpus):
+        plan = mix_corpus(corpus, WEIGHTS, BUDGET) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # corpus side reaches the filter without an Exchange; the only
+        # exchange feeds the tiny per-source aggregate (broadcast back)
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "BroadcastHashJoin" in plan
+
+
+class TestFunnelReport:
+    def test_stages(self, spark):
+        en = ("the cat and the dog ran to the house of the old man and "
+              "it was good for all of them to rest in the shade today")
+        rows = [(0, en), (1, en), (2, "der hund und die katze " * 5),
+                (3, "short the text"),
+                (4, "the " + " ".join(f"z{i}" for i in range(59)))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = {r.stage: r for r in funnel_report(docs).collect()}
+        assert rep["1_input"].docs == 5
+        assert rep["2_lang"].docs == 4      # doc 2 is de
+        assert rep["3_length"].docs == 3    # doc 3 too short
+        assert rep["4_stopword"].docs == 2  # doc 4 density 1/60 < 1/50
+        assert rep["5_dedup"].docs == 1     # docs 0,1 share the fp
+        assert rep["1_input"].tokens == sum(
+            len(t.split()) for _, t in rows)
+        # dedup token mass counts the surviving copy once
+        assert rep["5_dedup"].tokens == len(en.split())
+        assert rep["4_stopword"].tokens == 2 * len(en.split())
+
+    def test_empty_input(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        rep = {r.stage: (r.docs, r.tokens)
+               for r in funnel_report(docs).collect()}
+        assert rep == {"1_input": (0, 0), "2_lang": (0, 0),
+                       "3_length": (0, 0), "4_stopword": (0, 0),
+                       "5_dedup": (0, 0)}
+
+    def test_single_shuffle(self, spark):
+        docs = spark.createDataFrame([(0, "the cat")],
+                                     "doc_id long, text string")
+        plan = funnel_report(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # one hash exchange (fp groups) + the one-row global reduce
+        assert plan.count("Exchange hashpartitioning") == 1
