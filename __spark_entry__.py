@@ -518,6 +518,21 @@ def q_cosine_topk(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-5 (operators/similarity.py): symmetric
+    scalar quantization (scale = max|v|, floor(v·127/scale + 0.5)) of
+    both sides, exact int64 code dot + integer squared norms, ranked by
+    the quantized cosine — the 4×-smaller scan kernel an ANN re-rank
+    runs at 100 TB. Every float step is a fixed-shape correctly-rounded
+    IEEE op, so the DuckDB oracle reproduces codes, dots and ranks
+    bit-for-bit; recall vs exact cosine is pinned in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.quantized_topk(queries, emb, k=5)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs on a doc subset (integers only)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
@@ -1392,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_plan": q_mix_plan,
         "mix_corpus": q_mix_corpus,
         "funnel_report": q_funnel_report,
+        "quantized_topk": q_quantized_topk,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1419,14 +1435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_roundtrip": q_spans_roundtrip,
         "bucket_catalog": q_bucket_catalog,
         "listing_order": q_listing_order,
+        # ---- position-50 boundary: everything below is the simplest,
+        # ---- repeatedly driver-proven surface (r1-r4 green every round)
         "status_counts": q_status_counts,
         "approx_distinct": q_approx_distinct,
         "quality": q_quality,
         "union_dedup": q_union_dedup,
         "host_agg": q_host_agg,
         "decode_media": q_decode_media,
-        # ---- position ~50 boundary: everything below is the simplest,
-        # ---- repeatedly driver-proven surface (r1-r4 green every round)
         "object_fields": q_object_fields,
         "bucket_filter": q_bucket_filter,
         "url_build": q_url_build,
@@ -2775,6 +2791,53 @@ def oracle_sql() -> dict[str, str]:
                    THEN d.doc_id IS NOT NULL
               ELSE substr(md5(CAST(d.doc_id AS VARCHAR) || 'r5'), 1, 8)
                    < printf('%08x', p.sample_threshold) END"""
+    out["quantized_topk"] = """
+        WITH qz AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS m,
+                 embedding
+          FROM embeddings
+        ),
+        codes AS (
+          SELECT vec_id,
+            CASE WHEN m = 0.0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+                           AS INT)) END AS c
+          FROM qz
+        ),
+        withn AS (
+          SELECT vec_id, c,
+            CAST(list_dot_product(
+                 list_transform(c, x -> CAST(x AS DOUBLE)),
+                 list_transform(c, x -> CAST(x AS DOUBLE))) AS BIGINT)
+              AS n2
+          FROM codes
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id,
+            CAST(list_dot_product(
+                 list_transform(q.c, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.c, x -> CAST(x AS DOUBLE))) AS BIGINT)
+              AS qdot,
+            CASE WHEN q.n2 = 0 OR c.n2 = 0 THEN 0.0
+            ELSE round(CAST(list_dot_product(
+                   list_transform(q.c, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.c, x -> CAST(x AS DOUBLE)))
+                   AS BIGINT)
+                 / (sqrt(CAST(q.n2 AS DOUBLE))
+                    * sqrt(CAST(c.n2 AS DOUBLE))), 6) END AS qcos
+          FROM withn q, withn c
+          WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY qcos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, qdot, qcos
+        FROM ranked WHERE rank <= 5"""
     out["funnel_report"] = r"""
         WITH src AS (
           SELECT doc_id, text FROM documents

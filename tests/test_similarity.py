@@ -98,3 +98,63 @@ class TestIvf:
         assert len(a & b) / len(b) >= 0.5
         per_q = ivf.groupBy("query_id").count().collect()
         assert all(r["count"] == 5 for r in per_q)
+
+
+class TestQuantized:
+    def test_codes_bounded_and_extreme_maps_to_127(self, spark, corpus):
+        qz = similarity.quantize_embeddings(corpus).collect()
+        for r in qz:
+            assert max(abs(c) for c in r.codes) == 127
+            assert all(-127 <= c <= 127 for c in r.codes)
+
+    def test_reconstruction_error_bound(self, spark, corpus):
+        qz = {r.vec_id: r for r in
+              similarity.quantize_embeddings(corpus).collect()}
+        for r in corpus.collect():
+            q = qz[r.vec_id]
+            step = q.q_scale / 127.0
+            for v, c in zip(r.embedding, q.codes):
+                assert abs(v - c * step) <= step / 2 + 1e-9
+
+    def test_zero_vector(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0] * DIM), (1, [1.0] + [0.0] * (DIM - 1))],
+            "vec_id long, embedding array<float>")
+        qz = {r.vec_id: r for r in
+              similarity.quantize_embeddings(df).collect()}
+        assert qz[0].q_scale == 0.0 and set(qz[0].codes) == {0}
+        assert qz[1].codes[0] == 127
+        # zero vector scores 0.0 (explicit branch, no NaN)
+        q = df.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec"))
+        out = similarity.quantized_topk(q, df, k=2).collect()
+        assert all(r.qcos == 0.0 for r in out if 0 in (r.query_id,
+                                                       r.vec_id))
+
+    def test_recall_vs_brute_force(self, spark, corpus):
+        k = 10
+        bf = similarity.brute_force_topk(_queries(corpus), corpus,
+                                         k=k).collect()
+        qt = similarity.quantized_topk(_queries(corpus), corpus,
+                                       k=k).collect()
+        exact = {(r.query_id, r.vec_id) for r in bf}
+        quant = {(r.query_id, r.vec_id) for r in qt}
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.85, recall
+
+    def test_deterministic_under_repartition(self, spark, corpus):
+        a = sorted((r.query_id, r.vec_id, r.rank, r.qdot, r.qcos)
+                   for r in similarity.quantized_topk(
+                       _queries(corpus), corpus, k=5).collect())
+        b = sorted((r.query_id, r.vec_id, r.rank, r.qdot, r.qcos)
+                   for r in similarity.quantized_topk(
+                       _queries(corpus.repartition(11)),
+                       corpus.repartition(13), k=5).collect())
+        assert a == b
+
+    def test_quantize_is_pure_projection(self, spark, corpus):
+        plan = similarity.quantize_embeddings(corpus) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
