@@ -572,6 +572,28 @@ def q_link_graph(spark, sf_dir):
     return graph.link_host_edges(pages)
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index (operators/graph.anchor_texts): every page
+    carries one absolute link with a nested-tag anchor ('<b>doc</b> N',
+    N = doc_id%5 — the harvest strips tags and collapses whitespace)
+    and one root-relative link ('self link') that resolves to the
+    page's own host. Output: (dst_url, anchor, n_refs) — the off-page
+    description signal a crawl-fed index attaches per target URL. The
+    oracle re-derives both groups from the synthesis rule; the regex
+    harvest itself is pinned in test_html."""
+    from fess_ds_s3_spark.operators import graph
+    f = _frontier(spark, sf_dir)
+    pages = f.select(
+        "url",
+        F.concat(F.lit("<a href=\"https://src"),
+                 ((F.col("doc_id") * 3) % 20).cast("string"),
+                 F.lit(".example/t\"><b>doc</b>\n"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit("</a><a href='/rel'>self link</a>"))
+        .alias("contents"))
+    return graph.anchor_texts(pages)
+
+
 def q_asof_events(spark, sf_dir):
     """As-of join (operators/asof.py, J5 family): every event joins the
     latest earlier-or-equal 'snapshot' event (event_id % 10 == 0) of the
@@ -1408,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "funnel_report": q_funnel_report,
         "quantized_topk": q_quantized_topk,
+        "anchor_text": q_anchor_text,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1858,6 +1881,18 @@ def oracle_sql() -> dict[str, str]:
                    source || '.s3.{REGION}.amazonaws.com' AS src,
                    source || '.s3.{REGION}.amazonaws.com' AS dst
             FROM documents""",
+        "anchor_text": f"""
+            SELECT 'https://src' || CAST((doc_id * 3) % 20 AS VARCHAR)
+                       || '.example/t' AS dst_url,
+                   'doc ' || CAST(doc_id % 5 AS VARCHAR) AS anchor,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM documents GROUP BY 1, 2
+            UNION ALL
+            SELECT 'https://' || source
+                       || '.s3.{REGION}.amazonaws.com/rel' AS dst_url,
+                   'self link' AS anchor,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM documents GROUP BY 1, 2""",
         "asof_events": r"""
             WITH ev AS (
               SELECT event_id, user_id,

@@ -300,3 +300,30 @@ def url_host(url: Column | str) -> Column:
     (regexp_extract returns '' on no-match — normalized to NULL)."""
     h = F.regexp_extract(_col(url), URL_HOST_PATTERN, 1)
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+#: whole <a ...href=...>…</a> element, lazy body, dotall+case-insensitive
+#: (Java-regex ∩ RE2 — inline (?is) flags and lazy quantifiers exist in
+#: both; mixed quote pairing href="…' is out of documented scope)
+A_TAG_PATTERN = (r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']*["'][^>]*>"""
+                 r""".*?</a>""")
+
+
+def html_anchor_pairs(html: Column | str) -> Column:
+    """Array of ``struct<href, anchor>`` for every ``<a href=…>…</a>``
+    element in document order — the anchor-text harvest a crawler feeds
+    its link index (anchor text is the strongest off-page description
+    of the TARGET url; the reference's indexer handoff has no analog).
+    ``anchor`` is the element body with nested tags stripped and
+    whitespace collapsed; ``href`` comes back as written — resolve
+    against the page URL downstream (operators/graph.anchor_texts).
+    Pure JVM regexp chain over the same documented Java∩RE2 scope as
+    :func:`html_links`; anchors spanning newlines are handled (dotall).
+    """
+    snips = F.regexp_extract_all(_col(html), F.lit(A_TAG_PATTERN),
+                                 F.lit(0))
+    return F.transform(snips, lambda s: F.struct(
+        F.regexp_extract(s, "(?i)" + HREF_PATTERN, 1).alias("href"),
+        F.trim(F.regexp_replace(F.regexp_replace(
+            F.regexp_extract(s, r"(?is)>(.*)</a>", 1),
+            r"<[^>]+>", " "), r"\s+", " ")).alias("anchor")))

@@ -162,3 +162,39 @@ def authority_priority(frontier: DataFrame, ranks: DataFrame, *,
     return (frontier.join(r, host_col, "left")
             .withColumn(out_col, (-bucket).cast("int"))
             .drop("_auth_rank"))
+
+
+def anchor_texts(pages: DataFrame, *, url_col: str = "url",
+                 html_col: str = "contents",
+                 resolve: bool = True) -> DataFrame:
+    """Anchor-text index from fetched pages: ``(dst_url, anchor,
+    n_refs)`` — how the web describes each target URL, aggregated over
+    every ``<a>`` element that points at it.  A search/training corpus
+    built from a 100 TB crawl attaches this as off-page evidence per
+    document (anchor text is the classic relevance signal the
+    reference's per-object indexer handoff cannot see).
+
+    ``resolve`` (default) resolves relative hrefs against the page URL
+    (functions/urls.resolve_url) so root-/path-relative links index
+    their absolute target; non-http(s) targets (mailto:, javascript:,
+    unresolvable) are dropped via the ``url_host`` gate, mirroring
+    :func:`link_host_edges`.  Empty anchors (image links, whitespace
+    bodies) are kept as ``''`` — callers filter if unwanted.
+
+    Scale shape: one explode (the anchor set's own cardinality — the
+    harvest regex is a JVM projection), one map-side-combinable
+    groupBy on (dst_url, anchor).  No driver actions, no UDF.
+    """
+    from fess_ds_s3_spark.functions.text import html_anchor_pairs, url_host
+    from fess_ds_s3_spark.functions.urls import resolve_url
+    exploded = pages.select(
+        F.col(url_col).alias("_base"),
+        F.explode(html_anchor_pairs(F.col(html_col))).alias("_a"))
+    target = (resolve_url(F.col("_base"), F.col("_a.href")) if resolve
+              else F.col("_a.href"))
+    return (exploded
+            .select(target.alias("dst_url"),
+                    F.col("_a.anchor").alias("anchor"))
+            .filter(url_host(F.col("dst_url")).isNotNull())
+            .groupBy("dst_url", "anchor")
+            .agg(F.count(F.lit(1)).alias("n_refs")))

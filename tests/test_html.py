@@ -77,3 +77,68 @@ class TestLinkHostEdges:
         ranks = {r.host: r.rank for r in graph.host_authority(
             graph.link_host_edges(pages)).collect()}
         assert ranks["hub.example"] > ranks["a.example"] > ranks["b.example"]
+
+
+class TestAnchorTexts:
+    def _pairs(self, spark, html):
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(T.html_anchor_pairs("h").alias("a")).first().a
+
+    def test_pairs_strip_nested_tags_and_whitespace(self, spark):
+        html = ('<a href="https://t.example/a"><b>Big</b>\n  deal </a>'
+                "<a href='/rel' class='x'>self</a>")
+        pairs = self._pairs(spark, html)
+        assert [(p.href, p.anchor) for p in pairs] == [
+            ("https://t.example/a", "Big deal"), ("/rel", "self")]
+
+    def test_multiline_and_case_insensitive(self, spark):
+        html = '<A HREF="https://t.example/b">line1\nline2</A>'
+        pairs = self._pairs(spark, html)
+        assert [(p.href, p.anchor) for p in pairs] == [
+            ("https://t.example/b", "line1 line2")]
+
+    def test_empty_anchor_and_unclosed_tag(self, spark):
+        html = ('<a href="https://t.example/img"><img src="x"></a>'
+                '<a href="https://t.example/broken">never closed')
+        pairs = self._pairs(spark, html)
+        # image-only body → '' anchor; unclosed <a> never matches
+        assert [(p.href, p.anchor) for p in pairs] == [
+            ("https://t.example/img", "")]
+
+    def test_anchor_texts_resolves_and_aggregates(self, spark):
+        rows = [
+            ("https://h1.example/p1",
+             '<a href="https://t.example/x">hit</a>'
+             "<a href='/rel'>self</a>"
+             '<a href="mailto:a@b">mail</a>'),
+            ("https://h1.example/p2",
+             '<a href="https://t.example/x">hit</a>'),
+            ("https://h2.example/p",
+             '<a href="https://t.example/x">other words</a>'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, contents string")
+        out = {(r.dst_url, r.anchor): r.n_refs
+               for r in graph.anchor_texts(pages).collect()}
+        assert out == {
+            ("https://t.example/x", "hit"): 2,
+            ("https://t.example/x", "other words"): 1,
+            ("https://h1.example/rel", "self"): 1,
+        }
+
+    def test_no_resolve_drops_relative(self, spark):
+        pages = spark.createDataFrame(
+            [("https://h.example/p",
+              '<a href="/rel">r</a><a href="https://t.example/x">a</a>')],
+            "url string, contents string")
+        out = graph.anchor_texts(pages, resolve=False).collect()
+        assert [(r.dst_url, r.anchor, r.n_refs) for r in out] == [
+            ("https://t.example/x", "a", 1)]
+
+    def test_plan_is_explode_plus_one_agg(self, spark):
+        pages = spark.createDataFrame(
+            [("https://h.example/p", '<a href="/a">x</a>')],
+            "url string, contents string")
+        plan = graph.anchor_texts(pages) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "EvalPython" not in plan
