@@ -369,12 +369,9 @@ def q_fetch_store(spark, sf_dir):
         F.md5("contents").alias("contents_md5"))
 
 
-def _routed_round1(spark, sf_dir):
-    """Flagship routed frame with ALL frontier columns (bucket/key/doc_id
-    kept so derived entries — stats, counts — can project what they need):
-    seen anti-join → per-host ranking → budget admission → filter chain."""
-    cfg = CrawlConfig(region=REGION, include_pattern=_INCLUDE,
-                      exclude_pattern=_EXCLUDE, max_size=_MAX_SIZE)
+def _admitted_round1(spark, sf_dir):
+    """Flagship admission base: seen anti-join → per-host ranking →
+    politeness-budget admission (all frontier columns kept)."""
     f = _frontier(spark, sf_dir)
     seen = (f.filter(F.col("doc_id") % 3 == 0)
             .select(F.col("url").alias("canonical_url")))
@@ -382,10 +379,35 @@ def _routed_round1(spark, sf_dir):
     ranked = politeness.rank_within_host(
         unseen.withColumn("budget", _budget_spark()), "host",
         ("priority", "url"))
-    admitted = (ranked.filter(F.col("host_rank") <= F.col("budget"))
-                .drop("budget"))
+    return (ranked.filter(F.col("host_rank") <= F.col("budget"))
+            .drop("budget"))
+
+
+def _routed_round1(spark, sf_dir):
+    """Flagship routed frame with ALL frontier columns (bucket/key/doc_id
+    kept so derived entries — stats, counts — can project what they need):
+    seen anti-join → per-host ranking → budget admission → filter chain."""
+    cfg = CrawlConfig(region=REGION, include_pattern=_INCLUDE,
+                      exclude_pattern=_EXCLUDE, max_size=_MAX_SIZE)
+    admitted = _admitted_round1(spark, sf_dir)
     return flt.apply_max_size_guard(
         flt.apply_url_filter(flt.with_status_columns(admitted), cfg), cfg)
+
+
+def q_admission_fair(spark, sf_dir):
+    """Fair round-budget admission (plans/round.schedule cap_mode='fair'
+    semantics over the flagship admission base): per-host quotas by
+    largest-remainder apportionment of a 23-fetch round budget over the
+    politeness-admitted backlog (operators/politeness.host_budget), each
+    host keeping its host_rank ≤ quota prefix — the anti-starvation
+    alternative to the reference-parity page top-K."""
+    admitted = _admitted_round1(spark, sf_dir)
+    backlog = admitted.groupBy("host").agg(
+        F.count(F.lit(1)).alias("pending"))
+    quotas = politeness.host_budget(backlog, 23).select("host", "quota")
+    return (admitted.join(F.broadcast(quotas), "host")
+            .filter(F.col("host_rank") <= F.col("quota"))
+            .select("host", "host_rank", "url", "quota"))
 
 
 def q_admission_round1(spark, sf_dir):
@@ -1445,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "anchor_text": q_anchor_text,
         "host_budget": q_host_budget,
+        "admission_fair": q_admission_fair,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1895,6 +1918,34 @@ def oracle_sql() -> dict[str, str]:
                    source || '.s3.{REGION}.amazonaws.com' AS src,
                    source || '.s3.{REGION}.amazonaws.com' AS dst
             FROM documents""",
+        "admission_fair": admitted_ctes + """,
+            backlog AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS pending
+              FROM admitted GROUP BY host
+            ),
+            t AS (SELECT CAST(SUM(pending) AS BIGINT) AS tot FROM backlog),
+            qb AS (
+              SELECT host, pending, tot,
+                     (pending * 23) // tot AS fl,
+                     (pending * 23) % tot AS rem
+              FROM backlog, t
+            ),
+            qr AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rnk,
+                     CAST(23 - SUM(fl) OVER () AS BIGINT) AS leftover
+              FROM qb
+            ),
+            quotas AS (
+              SELECT host,
+                     CAST(CASE WHEN tot <= 0 THEN 0
+                          WHEN tot <= 23 THEN pending
+                          ELSE fl + CASE WHEN rnk <= leftover THEN 1
+                                    ELSE 0 END END AS BIGINT) AS quota
+              FROM qr
+            )
+            SELECT a.host, a.host_rank, a.url, q.quota
+            FROM admitted a JOIN quotas q ON a.host = q.host
+            WHERE a.host_rank <= q.quota""",
         "host_budget": FRONTIER_CTE + """,
             backlog AS (
               SELECT host, CAST(COUNT(*) AS BIGINT) AS pending

@@ -137,9 +137,12 @@ class CrawlDriver:
                  robots_round_seconds: float = 60.0,
                  use_authority: bool = False,
                  authority_iterations: int = 3,
-                 use_prefetch_dedup: bool = False):
+                 use_prefetch_dedup: bool = False,
+                 cap_mode: str = "page"):
         if per_round_cap is not None and per_round_cap <= 0:
             raise ValueError("per_round_cap must be positive or None")
+        if cap_mode not in ("page", "fair"):
+            raise ValueError("cap_mode must be 'page' or 'fair'")
         if conditional_fetch and object_store_root is None:
             raise ValueError("conditional_fetch requires object_store_root")
         self.spark = spark
@@ -148,6 +151,9 @@ class CrawlDriver:
         self.use_salting = use_salting
         self.encode_urls = encode_urls
         self.per_round_cap = per_round_cap
+        # how the cap picks rows: "page" = global top-K (reference listing
+        # parity), "fair" = largest-remainder per-host quotas (host_budget)
+        self.cap_mode = cap_mode
         self.object_store_root = object_store_root
         # incremental-cycle candidates carry the prior ETag; rounds then
         # GET conditionally and unchanged objects transfer no body
@@ -467,6 +473,7 @@ class CrawlDriver:
             # O2: optional per-round admission cap (engine knob; None =
             # admit everything budgets allow, reference-outcome-equivalent)
             global_cap=self.per_round_cap,
+            cap_mode=self.cap_mode,
             bloom_size_bytes=bloom_size,
             prefetch_known=prefetch_known)
 

@@ -128,6 +128,7 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
              encode_urls: bool = True,
              narrow: bool = True,
              global_cap: int | None = None,
+             cap_mode: str = "page",
              bloom_size_bytes: int | None = None) -> DataFrame:
     """Scheduling half of the round: returns the admitted batch with
     ``host_rank`` (the within-host admission sequence).
@@ -143,7 +144,23 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
     after it, like ``startAfter``). Deterministic total order
     (priority, discovery_time, url) → Spark plans a distributed top-K
     (TakeOrderedAndProject), never a full global sort.
+
+    ``cap_mode`` picks HOW the cap selects its rows:
+
+    - ``"page"`` (default, reference-parity): global top-``global_cap``
+      by (priority, discovery_time, url) — one whale host full of
+      high-priority URLs can take the whole page (exactly like a
+      listing page would).
+    - ``"fair"``: largest-remainder apportionment
+      (operators/politeness.host_budget) — each host gets a quota
+      proportional to its admitted backlog (Σ quotas = cap exactly when
+      binding) and keeps its ``host_rank ≤ quota`` prefix, so the round
+      budget spreads across hosts instead of starving the tail. Adds
+      one small per-host aggregate over the admitted batch plus a
+      broadcast join of the quota table.
     """
+    if cap_mode not in ("page", "fair"):
+        raise ValueError("cap_mode must be 'page' or 'fair'")
     df = prepare_frontier(frontier, cfg, encode_urls=encode_urls)
     if narrow:
         keep = [c for c in df.columns
@@ -180,8 +197,18 @@ def schedule(frontier: DataFrame, cfg: CrawlConfig, *,
         admitted = politeness.admit_per_host(df, cfg,
                                              host_budgets=host_budgets)
     if global_cap is not None:
-        rank = [F.col(c).asc() for c in politeness.DEFAULT_RANK_COLS]
-        admitted = admitted.orderBy(*rank).limit(global_cap)
+        if cap_mode == "fair":
+            backlog = (admitted.groupBy("host")
+                       .agg(F.count(F.lit(1)).alias("pending")))
+            quotas = politeness.host_budget(backlog, global_cap) \
+                .select("host", "quota")
+            admitted = (admitted
+                        .join(F.broadcast(quotas), "host")
+                        .filter(F.col("host_rank") <= F.col("quota"))
+                        .drop("quota"))
+        else:
+            rank = [F.col(c).asc() for c in politeness.DEFAULT_RANK_COLS]
+            admitted = admitted.orderBy(*rank).limit(global_cap)
     return admitted
 
 
@@ -385,6 +412,7 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
               use_salting: bool = True,
               encode_urls: bool = True,
               global_cap: int | None = None,
+              cap_mode: str = "page",
               bloom_size_bytes: int | None = None,
               prefetch_known: DataFrame | None = None) -> RoundResult:
     """Full round. The admitted batch is the pivot: it is small (budget-
@@ -394,7 +422,7 @@ def run_round(frontier: DataFrame, cfg: CrawlConfig, *,
         frontier, cfg, seen_exact=seen_exact, blooms=blooms,
         host_budgets=host_budgets, use_salting=use_salting,
         encode_urls=encode_urls, narrow=True, global_cap=global_cap,
-        bloom_size_bytes=bloom_size_bytes)
+        cap_mode=cap_mode, bloom_size_bytes=bloom_size_bytes)
     # late materialization: join the wide frontier columns back onto the
     # (budget-bounded, small) admitted batch only. One row per url on the
     # right, chosen by min (priority, discovery_time, …) — the same winner

@@ -332,3 +332,38 @@ class TestPrefetchDedupCrawl:
                 for r in d.read_committed("indexed")
                 .select("url", "round", "contents", "mimetype").collect()))
         assert outs[0] == outs[1] and len(outs[0]) == 6
+
+
+class TestFairCapDriver:
+    def test_fair_cap_bounds_rounds_and_converges(self, spark, tmp_path):
+        """cap_mode='fair': every round admits ≤ cap (exactly cap while
+        the backlog is binding), no host starves while it has backlog
+        and the budget is shared, and the crawl still converges to the
+        full frontier — pagination invariance under the fair
+        apportionment (operators/politeness.host_budget)."""
+        cfg = CrawlConfig(region="us-east-1", default_host_budget=50,
+                          max_keys=13, max_size=15_000_000,
+                          bloom_expected=10_000, seen_partitions=8)
+        frontier = synthetic.synth_frontier(spark, 90, n_hosts=6,
+                                            n_buckets=3, seed=29)
+        driver = CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                             per_round_cap=13, cap_mode="fair")
+        driver.seed(frontier)
+        summaries = driver.run(12)
+        n_urls = frontier.select("url").distinct().count()
+        done = 0
+        for s in summaries:
+            assert s.admitted <= 13
+            if n_urls - done >= 13:
+                assert s.admitted == 13  # binding → Σ quotas = cap
+            done += s.admitted
+        indexed = driver.read_committed("indexed")
+        failures = driver.read_committed("failures")
+        assert indexed.select("url").distinct().count() + \
+            failures.select("url").distinct().count() == n_urls
+
+    def test_bad_cap_mode_fails_fast(self, spark, tmp_path):
+        cfg = CrawlConfig(region="us-east-1")
+        with pytest.raises(ValueError):
+            CrawlDriver(spark, str(tmp_path / "wh"), cfg,
+                        cap_mode="round-robin")
