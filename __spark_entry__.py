@@ -540,6 +540,16 @@ def q_cosine_topk(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_token_histogram(spark, sf_dir):
+    """Per-source token-length histogram (plans/curate.token_histogram):
+    power-of-two buckets via exact integer math (binary-string length,
+    never a float log2 that rounds 2^k boundaries ambiguously) — the
+    corpus-report companion to funnel_report, one map-side-combinable
+    groupBy."""
+    from fess_ds_s3_spark.plans.curate import token_histogram
+    return token_histogram(_docs(spark, sf_dir))
+
+
 def q_quantized_topk(spark, sf_dir):
     """int8-quantized cosine top-5 (operators/similarity.py): symmetric
     scalar quantization (scale = max|v|, floor(v·127/scale + 0.5)) of
@@ -1468,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "host_budget": q_host_budget,
         "admission_fair": q_admission_fair,
+        "token_histogram": q_token_histogram,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -2914,6 +2925,18 @@ def oracle_sql() -> dict[str, str]:
                    THEN d.doc_id IS NOT NULL
               ELSE substr(md5(CAST(d.doc_id AS VARCHAR) || 'r5'), 1, 8)
                    < printf('%08x', p.sample_threshold) END"""
+    out["token_histogram"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END AS BIGINT) AS tok
+          FROM documents
+        )
+        SELECT source, CAST(length(bin(tok + 1)) - 1 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tokens
+        FROM toks GROUP BY 1, 2"""
     out["quantized_topk"] = """
         WITH qz AS (
           SELECT vec_id,

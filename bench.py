@@ -82,7 +82,10 @@ HEADLINE = ["admission_round1", "politeness", "seen_antijoin", "host_agg",
             "corpus_curate", "curate_sample_cap", "pack_sequences",
             # round 5: the skew-safe as-of path (new headline — totals are
             # not comparable to r4's 11-query total; per-query rows are)
-            "asof_salted"]
+            "asof_salted",
+            # round-5 continuation: data-mixture sampling, quantized ANN
+            # re-rank kernel, fair round-budget admission
+            "mix_corpus", "quantized_topk", "admission_fair"]
 
 
 def _session(cores: int, *, aqe: bool = True,

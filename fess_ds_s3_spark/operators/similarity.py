@@ -263,18 +263,19 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
     crossJoin, which is the same labeled exactness-baseline shape as
     :func:`brute_force_topk`.
     """
+    # per-row squared norms BEFORE the join: computed n + q times, not
+    # n·q times — at 100 TB the norm column rides the scan for free
     qq = quantize_embeddings(queries, vec=q_vec, id_col=q_id,
-                             codes_col="_qc", scale_col="_qs")
+                             codes_col="_qc", scale_col="_qs") \
+        .withColumn("_na", quantized_dot(F.col("_qc"), F.col("_qc")))
     cq = quantize_embeddings(corpus, vec=c_vec, id_col=c_id,
-                             codes_col="_cc", scale_col="_cs")
+                             codes_col="_cc", scale_col="_cs") \
+        .withColumn("_nb", quantized_dot(F.col("_cc"), F.col("_cc")))
     joined = cq.crossJoin(F.broadcast(qq))
     if exclude_self:
         joined = joined.filter(F.col(q_id) != F.col(c_id))
-    na = quantized_dot(F.col("_qc"), F.col("_qc"))
-    nb = quantized_dot(F.col("_cc"), F.col("_cc"))
     dot = quantized_dot(F.col("_qc"), F.col("_cc"))
-    scored = joined.select(
-        q_id, c_id, dot.alias("qdot"), na.alias("_na"), nb.alias("_nb"))
+    scored = joined.select(q_id, c_id, dot.alias("qdot"), "_na", "_nb")
     qcos = (F.when((F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(0.0))
             .otherwise(F.round(
                 F.col("qdot").cast("double")

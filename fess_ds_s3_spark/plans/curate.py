@@ -299,3 +299,35 @@ def funnel_report(docs: DataFrame, *,
         "stage", F.coalesce(F.col("docs"), F.lit(0)).cast("long")
         .alias("docs"), F.coalesce(F.col("tokens"), F.lit(0))
         .cast("long").alias("tokens"))
+
+
+def token_histogram(docs: DataFrame, *,
+                    source_col: str = "source",
+                    text: str = "text",
+                    token_col: str | None = None) -> DataFrame:
+    """Per-source token-length histogram on power-of-two buckets:
+    ``(source, bucket, n_docs, tokens)`` where ``bucket =
+    ⌊log2(tokens + 1)⌋`` — the corpus-report companion to
+    :func:`funnel_report` (length distribution per source is the first
+    chart every curation review looks at, and the direct input to
+    picking :func:`curate_corpus`'s ``min_tokens`` and
+    packing's sequence length).
+
+    The bucket is computed as ``len(bin(tokens + 1)) - 1`` — EXACT
+    integer math at any magnitude (a float ``log2`` rounds 2^k
+    boundaries ambiguously), and reproducible verbatim in the DuckDB
+    oracle.  One map-side-combinable groupBy; the scan prunes to
+    (source, text).
+    """
+    tok = (F.col(token_col) if token_col
+           else T.token_count_ws(text)).cast("long")
+    # floor(log2(n+1)) via the binary-string length: conv() renders the
+    # exact bits, length-1 is the exponent — no float involved
+    bucket = (F.length(F.conv((tok + F.lit(1)).cast("string"),
+                              10, 2)) - F.lit(1)).cast("int")
+    return (docs
+            .select(F.col(source_col).alias("source"),
+                    tok.alias("_tok"), bucket.alias("bucket"))
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tok").alias("tokens")))

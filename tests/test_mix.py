@@ -165,3 +165,35 @@ class TestFunnelReport:
             ._jdf.queryExecution().executedPlan().toString()
         # one hash exchange (fp groups) + the one-row global reduce
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestTokenHistogram:
+    def test_power_of_two_boundaries_exact(self, spark):
+        from fess_ds_s3_spark.plans.curate import token_histogram
+        rows = [(i, "s", n) for i, n in enumerate([0, 1, 2, 3, 4, 7, 8])]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, tok long")
+        out = {(r.bucket): (r.n_docs, r.tokens) for r in token_histogram(
+            docs, token_col="tok").collect()}
+        # bucket = floor(log2(n+1)): 0→0, 1→1, 2→1, 3→2, 4→2, 7→3, 8→3
+        assert out == {0: (1, 0), 1: (2, 3), 2: (2, 7), 3: (2, 15)}
+
+    def test_counts_text_and_partitions_by_source(self, spark, corpus):
+        from fess_ds_s3_spark.plans.curate import token_histogram
+        out = token_histogram(corpus).collect()
+        # totals across buckets == corpus totals
+        n = sum(r.n_docs for r in out)
+        assert n == corpus.count()
+        by_src = {}
+        for r in out:
+            by_src[r.source] = by_src.get(r.source, 0) + r.n_docs
+        assert by_src == {"web": 400, "wiki": 4, "code": 3, "junk": 10}
+        # zero-token docs land in bucket 0
+        assert {(r.source, r.bucket) for r in out if r.source == "code"} \
+            == {("code", 0)}
+
+    def test_single_shuffle(self, spark, corpus):
+        from fess_ds_s3_spark.plans.curate import token_histogram
+        plan = token_histogram(corpus) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
