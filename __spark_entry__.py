@@ -1414,6 +1414,19 @@ def q_mix_corpus(spark, sf_dir):
                       seed="r5")
 
 
+def q_mix_epochs(spark, sf_dir):
+    """Mixing with up-sampling (plans/mix.mix_corpus_epochs): src0's
+    allocation exceeds its content ~17× → capped at max_epochs=3 full
+    copies per doc; src1-src5 land fractional (< 1 epoch, hash-sampled
+    single copies); src6-19 unweighted → zero copies. The epoch rate
+    reuses mix_plan's fixed-shape IEEE math plus two more fixed-shape
+    ops (full = ⌊t_cap/2^32⌋, frac = ⌊t_cap − full·2^32⌋), so every
+    copy row reproduces bit-for-bit in DuckDB."""
+    from fess_ds_s3_spark.plans.mix import mix_corpus_epochs
+    return mix_corpus_epochs(_docs(spark, sf_dir), _MIX_WEIGHTS,
+                             _MIX_BUDGET, max_epochs=3, seed="r5e")
+
+
 def q_funnel_report(spark, sf_dir):
     """Curation-funnel observability (plans/curate.funnel_report): per
     stage (input → lang → length → stopword → dedup) the surviving
@@ -1473,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_fold": q_schedule_fold,
         "mix_plan": q_mix_plan,
         "mix_corpus": q_mix_corpus,
+        "mix_epochs": q_mix_epochs,
         "funnel_report": q_funnel_report,
         "quantized_topk": q_quantized_topk,
         "anchor_text": q_anchor_text,
@@ -2984,6 +2998,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, qdot, qcos
         FROM ranked WHERE rank <= 5"""
+    has_weight_case = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN 1" for s in _MIX_WEIGHTS)
+        + " ELSE 0 END")
+    epoch_cap = 3
+    t_cap = (f"LEAST(({numer_case}) / (CAST(src_tokens AS DOUBLE) "
+             f"* {float(mix_w)!r}), {float(epoch_cap * 2**32)!r})")
+    out["mix_epochs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(tok) AS BIGINT) AS src_tokens
+          FROM toks GROUP BY source
+        ),
+        p AS (
+          SELECT source,
+            CASE WHEN ({has_weight_case}) = 0 THEN 0
+                 WHEN src_tokens <= 0 THEN 1
+                 ELSE CAST(FLOOR(({t_cap}) / 4294967296.0) AS INT)
+            END AS full_copies,
+            CASE WHEN ({has_weight_case}) = 0 OR src_tokens <= 0 THEN 0
+                 ELSE CAST(FLOOR(({t_cap})
+                      - CAST(CAST(FLOOR(({t_cap}) / 4294967296.0) AS INT)
+                             AS DOUBLE) * 4294967296.0) AS BIGINT)
+            END AS frac_threshold
+          FROM tot
+        ),
+        c AS (
+          SELECT d.doc_id, d.source, d.tok AS tokens,
+            p.full_copies
+              + CASE WHEN p.frac_threshold >= 4294967296 THEN 1
+                WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || 'r5e'), 1, 8)
+                     < printf('%08x', p.frac_threshold) THEN 1
+                ELSE 0 END AS copies
+          FROM toks d JOIN p USING (source)
+        )
+        SELECT doc_id, source, CAST(u.g AS INT) AS copy_idx, tokens
+        FROM c, UNNEST(generate_series(1, copies)) u(g)
+        WHERE copies >= 1"""
     out["funnel_report"] = r"""
         WITH src AS (
           SELECT doc_id, text FROM documents

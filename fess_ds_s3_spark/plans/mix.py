@@ -144,3 +144,82 @@ def mix_corpus(docs: DataFrame, weights: dict[str, int],
             .filter(keep)
             .select(id_col, "source", "tokens", "src_tokens",
                     "sample_threshold"))
+
+
+def mix_corpus_epochs(docs: DataFrame, weights: dict[str, int],
+                      token_budget: int, *, max_epochs: int = 4,
+                      source_col: str = "source",
+                      token_col: str | None = None, text: str = "text",
+                      id_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Mixing WITH up-sampling: a source whose target allocation exceeds
+    its content repeats — the standard recipe move for small
+    high-quality sources (weights say "wiki is 10% of training tokens"
+    even when wiki is 0.1% of the crawl).  Per source the epoch rate is
+    ``r = min(max_epochs, w·budget / (W·T))``; every document emits
+    ``⌊r⌋`` unconditional copies plus one more kept by a content-keyed
+    hash sample at rate ``r - ⌊r⌋``.  Expected tokens per source =
+    ``T · min(max_epochs, r)``; ``max_epochs`` caps repetition (the
+    memorization guard).  Output: one row per copy, ``(id_col, source,
+    copy_idx, tokens)`` with ``copy_idx`` in ``1..copies``.
+
+    Determinism: the scaled rate reuses :func:`mix_plan`'s fixed-shape
+    IEEE math (``ratio = numer / (T·W)`` — already ``rate · 2^32``);
+    ``full = ⌊min(ratio, E·2^32)/2^32⌋`` and the fractional threshold
+    ``⌊t_cap − full·2^32⌋`` are two more fixed-shape double ops, so the
+    DuckDB oracle reproduces every copy bit-for-bit.  Zero-token
+    sources pin to exactly one copy (explicit branch).  The per-doc
+    fractional decision reuses ``hex8(md5(id‖seed))`` — same keyed
+    sampler as everything else in the pipeline.
+
+    Plan shape: one tiny per-source aggregate broadcast back, one
+    bounded explode (≤ max_epochs+1 per row) — the corpus scans once.
+    """
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if not weights:
+        raise ValueError("mix needs at least one source weight")
+    total_w = sum(weights.values())
+    if total_w <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0 with a positive sum")
+    tok = F.col(token_col) if token_col else token_count_ws(text)
+    totals = (docs.groupBy(F.col(source_col).alias("source"))
+              .agg(F.sum(tok).alias("src_tokens")))
+    numer = _weight_case(F.col("source"), {
+        s: float(w * token_budget * _SPACE) for s, w in weights.items()})
+    has_weight = _weight_case(F.col("source"),
+                              {s: 1.0 for s in weights}) > 0.0
+    ratio = numer / (F.col("src_tokens").cast("double")
+                     * F.lit(float(total_w)))
+    t_cap = F.least(ratio, F.lit(float(max_epochs * _SPACE)))
+    full = F.floor(t_cap / F.lit(float(_SPACE))).cast("int")
+    frac = F.floor(t_cap - full.cast("double") * F.lit(float(_SPACE))) \
+        .cast("long")
+    plan = totals.select(
+        "source",
+        F.when(~has_weight, F.lit(0))
+        .when(F.col("src_tokens") <= 0, F.lit(1))
+        .otherwise(full).alias("full_copies"),
+        F.when(~has_weight | (F.col("src_tokens") <= 0),
+               F.lit(0).cast("long"))
+        .otherwise(frac).alias("frac_threshold"))
+    keyed = F.col(id_col).cast("string")
+    if seed:
+        keyed = F.concat(keyed, F.lit(seed))
+    hex8 = F.substring(F.md5(keyed), 1, 8)
+    extra = (F.when(F.col("frac_threshold") >= F.lit(_SPACE),
+                    F.lit(1))
+             .when(hex8 < F.format_string("%08x", F.col("frac_threshold")),
+                   F.lit(1)).otherwise(F.lit(0)))
+    copies = (F.col("full_copies") + extra).alias("_copies")
+    base = (docs
+            .select(F.col(id_col), F.col(source_col).alias("source"),
+                    tok.cast("long").alias("tokens"))
+            .join(F.broadcast(plan), on="source", how="inner")
+            .select(id_col, "source", "tokens", copies))
+    # sequence(1, 0) would DESCEND in Spark — guard the zero-copy case
+    idx = F.when(F.col("_copies") >= 1,
+                 F.sequence(F.lit(1), F.col("_copies"))) \
+        .otherwise(F.array().cast("array<int>"))
+    return (base.select(id_col, "source", "tokens",
+                        F.explode(idx).alias("copy_idx"))
+            .select(id_col, "source", "copy_idx", "tokens"))

@@ -197,3 +197,65 @@ class TestTokenHistogram:
         plan = token_histogram(corpus) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestMixEpochs:
+    def test_upsampled_source_repeats_to_cap(self, spark):
+        from fess_ds_s3_spark.plans.mix import mix_corpus_epochs
+        # tiny source allocated far beyond its content → max_epochs copies
+        rows = [(0, "tiny", " ".join(["w"] * 10)),
+                (1, "tiny", " ".join(["w"] * 10))] + \
+               [(i, "big", " ".join(["w"] * 10)) for i in range(2, 1002)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        out = mix_corpus_epochs(docs, {"tiny": 1, "big": 1}, 10_000,
+                                max_epochs=3).collect()
+        tiny = [r for r in out if r.source == "tiny"]
+        assert len(tiny) == 6  # 2 docs × exactly max_epochs copies
+        assert sorted(r.copy_idx for r in tiny
+                      if r.doc_id == 0) == [1, 2, 3]
+        # big gets ~5000/10000 tokens → every doc ≤ 1 copy
+        big = [r for r in out if r.source == "big"]
+        assert all(r.copy_idx == 1 for r in big)
+        assert 300 <= len(big) <= 700  # rate ~0.5, binomial slack
+
+    def test_matches_manual(self, spark):
+        import hashlib
+        from fess_ds_s3_spark.plans.mix import _SPACE, mix_corpus_epochs
+        rows = [(i, "s", " ".join(["w"] * (5 + i % 7)))
+                for i in range(200)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        B, E, W = 3000, 4, 1
+        tot = sum(5 + i % 7 for i in range(200))
+        out = {}
+        for r in mix_corpus_epochs(docs, {"s": 1}, B, max_epochs=E,
+                                   seed="z").collect():
+            out.setdefault(r.doc_id, []).append(r.copy_idx)
+        ratio = float(1 * B * _SPACE) / (float(tot) * float(W))
+        t_cap = min(ratio, float(E * _SPACE))
+        full = int(t_cap // float(_SPACE))
+        frac = int(t_cap - float(full) * float(_SPACE))
+        for i in range(200):
+            hex8 = hashlib.md5(f"{i}z".encode()).hexdigest()[:8]
+            copies = full + (1 if hex8 < format(frac, "08x") else 0)
+            got = sorted(out.get(i, []))
+            assert got == list(range(1, copies + 1)), (i, copies, got)
+
+    def test_zero_token_source_single_copy(self, spark):
+        from fess_ds_s3_spark.plans.mix import mix_corpus_epochs
+        docs = spark.createDataFrame(
+            [(0, "z", ""), (1, "z", "")],
+            "doc_id long, source string, text string")
+        out = mix_corpus_epochs(docs, {"z": 1}, 100).collect()
+        assert sorted((r.doc_id, r.copy_idx) for r in out) == \
+            [(0, 1), (1, 1)]
+
+    def test_bad_args(self, spark):
+        from fess_ds_s3_spark.plans.mix import mix_corpus_epochs
+        docs = spark.createDataFrame(
+            [(0, "s", "w")], "doc_id long, source string, text string")
+        with pytest.raises(ValueError):
+            mix_corpus_epochs(docs, {"s": 1}, 10, max_epochs=0)
+        with pytest.raises(ValueError):
+            mix_corpus_epochs(docs, {}, 10)
