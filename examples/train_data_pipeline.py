@@ -6,6 +6,9 @@ The post-crawl half of the engine, end to end:
        (doc_id, spans) documents, exact dedup on the extracted text
     2. hash_sample        — optional deterministic corpus subsample
     3. top_n_per_group    — per-source domain cap (salted two-pass)
+    3b. mix_corpus        — optional data-mixture stage: per-source token
+        budgets via content-keyed sampling (--mix-budget)
+    3c. token_histogram   — corpus length report (printed)
     4. hash_split         — train/eval/test labels (content-keyed)
     5. pack_sequences     — token-budget sequence layout per split
 
@@ -34,7 +37,9 @@ from fess_ds_s3_spark.functions.sampling import hash_sample, hash_split
 from fess_ds_s3_spark.functions import text as T
 from fess_ds_s3_spark.operators.caps import top_n_per_group
 from fess_ds_s3_spark.operators.packing import pack_sequences
-from fess_ds_s3_spark.plans.curate import curate_interleaved
+from fess_ds_s3_spark.plans.curate import curate_interleaved, \
+    token_histogram
+from fess_ds_s3_spark.plans.mix import mix_corpus
 
 
 def synth_interleaved(spark: SparkSession, n: int):
@@ -81,6 +86,8 @@ def main() -> None:
     parser.add_argument("--sample-num", type=int, default=1)
     parser.add_argument("--sample-den", type=int, default=1)
     parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--mix-budget", type=int, default=0,
+                        help="data-mixture token budget (0 = skip)")
     parser.add_argument("--out", default=None,
                         help="optional parquet output dir")
     args = parser.parse_args()
@@ -105,6 +112,24 @@ def main() -> None:
         curated, ["source"], args.max_per_source,
         [F.col("ws_tokens").desc(), F.col("doc_id").asc()],
         salt_buckets=8, salt_key=F.xxhash64("doc_id"))
+
+    # 3b. data mixture: src0 over-weighted 8:1, the rest uniform —
+    # per-source token budgets via the same content-keyed sampler
+    if args.mix_budget:
+        weights = {f"src{i}": (8 if i == 0 else 1) for i in range(23)}
+        kept = mix_corpus(capped, weights, args.mix_budget,
+                          token_col="ws_tokens", id_col="doc_id",
+                          seed="mix-v1").select("doc_id")
+        capped = capped.join(kept, "doc_id", "left_semi")
+
+    # 3c. corpus report: power-of-two length histogram (exact int math)
+    hist = (token_histogram(capped, token_col="ws_tokens")
+            .groupBy("bucket")
+            .agg(F.sum("n_docs").alias("docs"),
+                 F.sum("tokens").alias("tokens"))
+            .orderBy("bucket"))
+    print(json.dumps({"length_histogram":
+                      [r.asDict() for r in hist.collect()]}, default=int))
 
     # 4. split, 5. pack — within="split" scopes the layout so a sequence
     # can never mix train and eval documents
