@@ -1325,6 +1325,19 @@ def q_decontam(spark, sf_dir):
     return flag_contaminated(d, ev, n=8)
 
 
+def q_eval_coverage(spark, sf_dir):
+    """Reverse decontamination audit (operators/decontam.eval_coverage):
+    per benchmark item (eval = doc_id % 7 == 0), how many of its
+    distinct word-8-grams appear anywhere in the corpus and across how
+    many corpus documents — the table an eval owner reads. Same gram
+    normalization/md5 fingerprints as `decontam`; DuckDB rebuilds the
+    identical distinct gram sets and both COUNT(DISTINCT)s."""
+    from fess_ds_s3_spark.operators.decontam import eval_coverage
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    return eval_coverage(d, ev, n=8)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (functions/text.redact_pii): documents augmented with
     deterministic email/IP/phone shapes, then counted and redacted. The
@@ -1473,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_split": q_corpus_split,
         "decontam": q_decontam,
+        "eval_coverage": q_eval_coverage,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "fetch_conditional": q_fetch_conditional,
@@ -2651,6 +2665,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.h, 0) AS BIGINT) AS eval_ngram_hits,
                    coalesce(h.h, 0) >= 1 AS contaminated
             FROM grams g LEFT JOIN hits h USING (doc_id)""",
+        "eval_coverage": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gs
+              FROM toks
+            ), doc_g AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams
+            ), eval_g AS (
+              SELECT doc_id AS eval_id, g FROM doc_g WHERE doc_id % 7 = 0
+            ), sizes AS (
+              SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS eval_ngrams
+              FROM eval_g GROUP BY eval_id
+            ), m AS (
+              SELECT e.eval_id, d.g, d.doc_id
+              FROM doc_g d JOIN eval_g e USING (g)
+            ), agg AS (
+              SELECT eval_id,
+                     CAST(COUNT(DISTINCT g) AS BIGINT) AS grams_hit,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS corpus_docs
+              FROM m GROUP BY eval_id
+            )
+            SELECT s.eval_id, s.eval_ngrams,
+                   COALESCE(a.grams_hit, 0) AS grams_hit,
+                   COALESCE(a.corpus_docs, 0) AS corpus_docs,
+                   COALESCE(a.grams_hit, 0) >= 1 AS compromised
+            FROM sizes s LEFT JOIN agg a USING (eval_id)""",
         "pii_redact": r"""
             WITH aug AS (
               SELECT doc_id,

@@ -99,3 +99,54 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame, *,
         n=n, min_hits=min_hits, broadcast=broadcast)
     bad = flagged.filter(F.col("contaminated")).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def eval_coverage(docs: DataFrame, eval_df: DataFrame, *,
+                  text: str = "text", id_col: str = "doc_id",
+                  eval_text: str = "text", eval_id: str = "doc_id",
+                  n: int = DEFAULT_NGRAM,
+                  broadcast: bool = True) -> DataFrame:
+    """The REVERSE audit: per eval/benchmark item, how much of it leaks
+    into the training corpus — ``(eval_id, eval_ngrams, grams_hit,
+    corpus_docs, compromised)``.  :func:`flag_contaminated` answers
+    "which training docs must go"; this answers the eval owner's
+    question — "which benchmark items are compromised, by how many of
+    their n-grams, across how many training documents" — the table a
+    decontamination report leads with.
+
+    ``grams_hit`` counts the eval item's DISTINCT n-grams found anywhere
+    in the corpus; ``corpus_docs`` counts distinct corpus documents
+    sharing at least one gram.  If the eval items are themselves corpus
+    members, they self-hit (run this AFTER :func:`decontaminate`, or on
+    the disjoint corpus, for the leakage-only view).
+
+    Shape at 100 TB: the corpus explodes its distinct gram fingerprints
+    ONCE (same cost class as a MinHash pass) and probes the broadcast
+    eval gram table — no corpus shuffle before the match join; the
+    aggregate shuffles only matched rows on ``eval_id`` (bounded by
+    |eval grams| × corpus fan-in; a boilerplate gram shared by the whole
+    corpus concentrates on one eval key — cap corpus fan-in upstream
+    with dedup if that bites).  ``broadcast=False`` falls back to a
+    shuffle join for pathologically large eval sets.
+    """
+    ev = (eval_df.select(F.col(eval_id).alias("eval_id"),
+                         F.explode(shingles(eval_text, n)).alias("_g"))
+          .select("eval_id", F.md5("_g").alias("gram_fp")))
+    sizes = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_ngrams"))
+    probe = F.broadcast(ev) if broadcast else ev
+    corpus = (docs.select(F.col(id_col).alias("_cid"),
+                          F.explode(shingles(text, n)).alias("_g"))
+              .select("_cid", F.md5("_g").alias("gram_fp")))
+    agg = (corpus.join(probe, "gram_fp")
+           .groupBy("eval_id")
+           .agg(F.countDistinct("gram_fp").alias("grams_hit"),
+                F.countDistinct("_cid").alias("corpus_docs")))
+    return (sizes.join(agg, "eval_id", "left")
+            .select("eval_id",
+                    F.col("eval_ngrams").cast("long").alias("eval_ngrams"),
+                    F.coalesce("grams_hit", F.lit(0)).cast("long")
+                    .alias("grams_hit"),
+                    F.coalesce("corpus_docs", F.lit(0)).cast("long")
+                    .alias("corpus_docs"))
+            .withColumn("compromised", F.col("grams_hit") >= F.lit(1)))

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fess_ds_s3_spark.operators.decontam import (decontaminate,
+                                                  eval_coverage,
                                                  eval_ngram_fps,
                                                  flag_contaminated)
 
@@ -109,3 +110,42 @@ class TestEvalSet:
         b = spark.createDataFrame(EVAL, "doc_id long, text string")
         assert (eval_ngram_fps(a, n=9).collect()
                 == eval_ngram_fps(b, n=9).collect())
+
+
+class TestEvalCoverage:
+    def test_per_eval_item_report(self, spark):
+        docs, ev = _frames(spark)
+        out = {r.eval_id: r for r in eval_coverage(docs, ev,
+                                                   n=9).collect()}
+        assert set(out) == {100}
+        r = out[100]
+        # the eval sentence is 9 words → exactly one 9-gram
+        assert r.eval_ngrams == 1
+        # docs 0 and 2 carry it verbatim; doc 3 only matches at n=8
+        assert r.grams_hit == 1
+        assert r.corpus_docs == 2
+        assert r.compromised
+
+    def test_clean_eval_item(self, spark):
+        docs, _ = _frames(spark)
+        ev = spark.createDataFrame(
+            [(200, "words that appear nowhere in this corpus at all "
+                   "believe me")], "doc_id long, text string")
+        r = eval_coverage(docs, ev, n=9).first()
+        assert (r.eval_ngrams, r.grams_hit, r.corpus_docs,
+                r.compromised) == (3, 0, 0, False)
+
+    def test_wider_n_spares_partial_overlap(self, spark):
+        docs, ev = _frames(spark)
+        r8 = eval_coverage(docs, ev, n=8).first()
+        r9 = eval_coverage(docs, ev, n=9).first()
+        assert r8.corpus_docs == 3   # doc 3 shares an 8-gram
+        assert r9.corpus_docs == 2
+
+    def test_shuffle_join_agrees(self, spark):
+        docs, ev = _frames(spark)
+        a = sorted(map(tuple, eval_coverage(docs, ev, n=9,
+                                            broadcast=True).collect()))
+        b = sorted(map(tuple, eval_coverage(docs, ev, n=9,
+                                            broadcast=False).collect()))
+        assert a == b
