@@ -1528,13 +1528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_store": q_fetch_store,
         "fetch_join": q_fetch_join,
         "stats_events": q_stats_events,
+        # ---- position-50 boundary: everything below is long-green
+        # ---- driver-proven surface (r1-r4 green every round)
         "events_window": q_events_window,
         "link_graph": q_link_graph,
         "object_map": q_object_map,
         "spans_roundtrip": q_spans_roundtrip,
         "bucket_catalog": q_bucket_catalog,
-        # ---- position-50 boundary: everything below is the simplest,
-        # ---- repeatedly driver-proven surface (r1-r4 green every round)
         "listing_order": q_listing_order,
         "status_counts": q_status_counts,
         "approx_distinct": q_approx_distinct,
