@@ -540,6 +540,18 @@ def q_cosine_topk(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_rare_words(spark, sf_dir):
+    """Corpus-relative rare-word quality signal
+    (plans/curate.rare_word_ratio): per document, the share of its
+    distinct words with corpus document-frequency ≤ 3 — the one quality
+    gate that needs the corpus itself (per-row metrics are
+    corpus-blind). Exact integer counts, one final division+round; the
+    df join is a shuffle on the word key, never a broadcast of the
+    vocabulary tail."""
+    from fess_ds_s3_spark.plans.curate import rare_word_ratio
+    return rare_word_ratio(_docs(spark, sf_dir), max_df=3)
+
+
 def q_token_histogram(spark, sf_dir):
     """Per-source token-length histogram (plans/curate.token_histogram):
     power-of-two buckets via exact integer math (binary-string length,
@@ -1507,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "admission_fair": q_admission_fair,
         "token_histogram": q_token_histogram,
+        "rare_words": q_rare_words,
         # -- driver-green veterans (rounds 1-4), most complex first --
         "admission_round1": q_admission_round1,
         "admission_bucketed": q_admission_bucketed,
@@ -1527,9 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fetch_store": q_fetch_store,
         "fetch_join": q_fetch_join,
-        "stats_events": q_stats_events,
         # ---- position-50 boundary: everything below is long-green
         # ---- driver-proven surface (r1-r4 green every round)
+        "stats_events": q_stats_events,
         "events_window": q_events_window,
         "link_graph": q_link_graph,
         "object_map": q_object_map,
@@ -2986,6 +2999,28 @@ def oracle_sql() -> dict[str, str]:
                    THEN d.doc_id IS NOT NULL
               ELSE substr(md5(CAST(d.doc_id AS VARCHAR) || 'r5'), 1, 8)
                    < printf('%08x', p.sample_threshold) END"""
+    out["rare_words"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' '))) AS w
+          FROM documents
+        ),
+        nz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM nz GROUP BY w),
+        per AS (
+          SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(COUNT(*) FILTER (WHERE f.df <= 3) AS BIGINT)
+                   AS n_rare
+          FROM nz n JOIN dfreq f USING (w) GROUP BY n.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_words, 0) AS n_words,
+               COALESCE(p.n_rare, 0) AS n_rare,
+               CASE WHEN COALESCE(p.n_words, 0) = 0 THEN 0.0
+                    ELSE round(p.n_rare / p.n_words, 6) END AS rare_ratio
+        FROM documents d LEFT JOIN per p USING (doc_id)"""
     out["token_histogram"] = r"""
         WITH toks AS (
           SELECT source,

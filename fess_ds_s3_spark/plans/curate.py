@@ -331,3 +331,54 @@ def token_histogram(docs: DataFrame, *,
             .groupBy("source", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_tok").alias("tokens")))
+
+
+def rare_word_ratio(docs: DataFrame, *, max_df: int = 2,
+                    text: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative quality signal: per document, the share of its
+    DISTINCT words that appear in at most ``max_df`` corpus documents —
+    ``(id_col, n_words, n_rare, rare_ratio)``.  High ratios flag
+    gibberish, OCR noise, hash dumps and boilerplate-stripped residue
+    (their vocabulary is unshared); near-zero ratios flag template spam
+    (every word is corpus-common).  The per-row metrics in
+    functions/text.py are corpus-blind — this is the one quality gate
+    that needs the corpus itself, and the cut point every curation
+    recipe tunes per crawl.
+
+    Word normalization matches the dedup shingler (lower, trim,
+    whitespace collapse) so quality and dedup agree on tokenization;
+    blank documents return ``(0, 0, 0.0)`` explicitly.  ``rare_ratio``
+    is exact integer counts with one final ``round(n_rare/n_words, 6)``
+    — the same division-then-round contract every ratio oracle in the
+    gate uses.
+
+    Shape at 100 TB: explode distinct words once; document frequency is
+    one map-side-combinable groupBy on the word; the flag joins back on
+    the SAME word key (the exchange is reused, not repeated) and the
+    per-doc aggregate is the second and last shuffle.  No broadcast of
+    the rare set — it is the corpus's vocabulary tail, the one thing
+    you must never collect.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    words = (docs.select(F.col(id_col).alias("_id"),
+                         F.explode(F.array_distinct(F.split(norm, " ")))
+                         .alias("w"))
+             .filter(F.col("w") != ""))
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    flagged = words.join(dfreq, "w")
+    per_doc = (flagged.groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.count(F.when(F.col("_df") <= F.lit(max_df),
+                                   F.lit(1))).alias("n_rare")))
+    return (docs.select(F.col(id_col))
+            .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_rare", F.lit(0)).cast("long")
+                    .alias("n_rare"))
+            .withColumn("rare_ratio",
+                        F.when(F.col("n_words") == 0, F.lit(0.0))
+                        .otherwise(F.round(F.col("n_rare")
+                                           / F.col("n_words"), 6))))

