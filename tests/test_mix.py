@@ -315,3 +315,35 @@ class TestRareWordRatio:
         # the word-df join must be a shuffle join keyed on the word,
         # never a broadcast of the vocabulary tail
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_zipf_head_reference(self, spark):
+        """r6 restructure pin: the rare sliver join must reproduce a
+        python reference on a corpus with a Zipf-head hot word shared by
+        every doc ('the' never crosses the join) plus per-doc uniques."""
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        rows = [(i, "the and " + f"unique{i} " * 3 + ("mid " if i % 2
+                                                      else "")) for i in
+                range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               rare_word_ratio(docs, max_df=3).collect()}
+        # df: the=40, and=40, mid=20, unique<i>=1
+        for i in range(40):
+            n_words = 4 if i % 2 else 3  # the, and, unique<i> (+ mid)
+            assert out[i].n_words == n_words, i
+            assert out[i].n_rare == 1, i  # only unique<i>
+            assert out[i].rare_ratio == round(1 / n_words, 6)
+
+    def test_rare_join_carries_only_rare_occurrences(self, spark):
+        """Volume assertion for the r6 restructure: the join output is
+        the rare-word occurrence stream, not the corpus occurrence
+        stream — the pre-aggregate row count equals Σ per-doc n_rare."""
+        from fess_ds_s3_spark.plans.curate import rare_word_ratio
+        rows = [(i, "hot " * 5 + f"u{i}") for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = rare_word_ratio(docs, max_df=1)
+        assert out.agg(F.sum("n_rare")).collect()[0][0] == 30
+        # structural: the document-frequency sliver filter sits UNDER the
+        # occurrence join (occurrences of non-rare words never cross it)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "<= 1" in plan.split("Join", 2)[-1]

@@ -158,3 +158,50 @@ class TestQuantized:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestPrunedTopkEquivalence:
+    """The r6 numpy-pruned top-k paths must be bit-identical to the
+    all-pairs reference plans (prune=False) — including score ties broken
+    by vec_id, zero vectors, and arbitrary partitioning."""
+
+    def test_quantized_prune_equals_allpairs(self, spark, corpus):
+        a = sorted(map(tuple, similarity.quantized_topk(
+            _queries(corpus), corpus, k=7, prune=True).collect()))
+        b = sorted(map(tuple, similarity.quantized_topk(
+            _queries(corpus), corpus, k=7, prune=False).collect()))
+        assert a == b
+
+    def test_brute_prune_equals_allpairs(self, spark, corpus):
+        a = sorted(map(tuple, similarity.brute_force_topk(
+            _queries(corpus), corpus, k=7, prune=True).collect()))
+        b = sorted(map(tuple, similarity.brute_force_topk(
+            _queries(corpus), corpus, k=7, prune=False).collect()))
+        assert a == b
+
+    def test_ties_and_zero_vectors(self, spark, corpus):
+        # clones create exact score ties (broken by vec_id) straddling the
+        # k boundary; a zero vector exercises quantized's explicit 0-score
+        # branch (brute force's cosine divides by zero for zero vectors in
+        # BOTH paths under ANSI mode — equally unsupported, so ties only)
+        clones = corpus.select((F.col("vec_id") + 1000).alias("vec_id"),
+                               "embedding")
+        zero = spark.createDataFrame([(5000, [0.0] * DIM)],
+                                     "vec_id long, embedding array<float>")
+        tied = corpus.unionByName(clones).repartition(9)
+        a = sorted(map(tuple, similarity.brute_force_topk(
+            _queries(corpus), tied, k=5, prune=True).collect()))
+        b = sorted(map(tuple, similarity.brute_force_topk(
+            _queries(corpus), tied, k=5, prune=False).collect()))
+        assert a == b
+        tied_z = tied.unionByName(zero).repartition(7)
+        a = sorted(map(tuple, similarity.quantized_topk(
+            _queries(corpus), tied_z, k=5, prune=True).collect()))
+        b = sorted(map(tuple, similarity.quantized_topk(
+            _queries(corpus), tied_z, k=5, prune=False).collect()))
+        assert a == b
+
+    def test_empty_and_null_query_side_falls_back(self, spark, corpus):
+        empty = _queries(corpus).filter(F.col("query_id") < 0)
+        assert similarity.quantized_topk(empty, corpus, k=3).count() == 0
+        assert similarity.brute_force_topk(empty, corpus, k=3).count() == 0
