@@ -143,9 +143,15 @@ def shingles(text: Column | str, n: int = 5) -> Column:
 
 def explode_shingle_hashes(df: DataFrame, text: str = "text",
                            id_col: str = "doc_id", n: int = 5) -> DataFrame:
-    """(id, shingle_hash) rows — xxhash64 per distinct shingle."""
-    return (df.select(F.col(id_col), F.explode(shingles(text, n))
-                      .alias("shingle"))
+    """(id, shingle_hash) rows — xxhash64 per distinct shingle.
+
+    r6: shingle strings come from the Arrow kernel
+    (functions/arrow_text.shingle_sets — identical string sets, ~10× the
+    JVM slice+join build rate); the hash stays JVM xxhash64, so the
+    emitted rows are unchanged bit-for-bit."""
+    from fess_ds_s3_spark.functions.arrow_text import shingle_sets
+    return (shingle_sets(df, text=text, id_col=id_col, n=n)
+            .select(F.col(id_col), F.explode("shingle").alias("shingle"))
             .select(id_col, F.xxhash64("shingle").alias("shingle_hash")))
 
 
@@ -171,28 +177,39 @@ def minhash_signatures(df: DataFrame, text: str = "text",
     below 2^62 (no object-dtype fallback; this is the 100 TB dedup hot path).
     """
     a, b = _minhash_params(num_hashes, seed)
-    a_col = a[:, None]  # (k, 1) — broadcast against the doc's shingle row
-    b_col = b[:, None]
 
     @pandas_udf(ArrayType(LongType()))
     def _sign(hash_arrays: pd.Series) -> pd.Series:
-        out = []
+        # r6: one batch-wide (k, Σn) matrix op + segment-min (reduceat)
+        # instead of a small numpy op per document — same permutations,
+        # same values, ~10× less per-doc dispatch overhead
         empty = [int(_MERSENNE31)] * len(a)
-        for hashes in hash_arrays:
-            if hashes is None or len(hashes) == 0:
-                out.append(empty)
-                continue
-            # fold the signed-64-bit xxhash to 31 bits via uint64 mod-prime
-            xu = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-            x31 = (xu % np.uint64(_MERSENNE31)).astype(np.int64)
-            # (k, n) int64 matrix: a*x < 2^62, + b safe; min over shingles
-            sig = ((a_col * x31[None, :] + b_col) % _MERSENNE31).min(axis=1)
-            out.append(sig.tolist())
+        lens = np.fromiter((0 if h is None else len(h)
+                            for h in hash_arrays), dtype=np.int64,
+                           count=len(hash_arrays))
+        if lens.sum() == 0:
+            return pd.Series([empty] * len(hash_arrays))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64)
+             for h in hash_arrays if h is not None and len(h)])
+        # fold the signed-64-bit xxhash to 31 bits via uint64 mod-prime
+        x31 = (flat.astype(np.uint64) % np.uint64(_MERSENNE31)) \
+            .astype(np.int64)
+        # (k, Σn) int64: a*x < 2^62, + b safe — native int64 throughout
+        sig = (a[:, None] * x31[None, :] + b[:, None]) % _MERSENNE31
+        nonempty = lens > 0
+        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        mins = np.minimum.reduceat(sig, offsets, axis=1)  # (k, #nonempty)
+        out = [empty] * len(hash_arrays)
+        for i, m in zip(np.nonzero(nonempty)[0], mins.T):
+            out[i] = m.tolist()
         return pd.Series(out)
 
-    sh = (df.select(F.col(id_col),
-                    F.transform(shingles(text, shingle_n),
-                                lambda s: F.xxhash64(s)).alias("sh")))
+    from fess_ds_s3_spark.functions.arrow_text import shingle_sets
+    sh = (shingle_sets(df, text=text, id_col=id_col, n=shingle_n)
+          .select(F.col(id_col),
+                  F.transform(F.col("shingle"),
+                              lambda s: F.xxhash64(s)).alias("sh")))
     return sh.select(id_col, _sign(F.col("sh")).alias("signature"))
 
 

@@ -44,6 +44,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fess_ds_s3_spark.functions import arrow_text
 from fess_ds_s3_spark.functions import text as T
 from fess_ds_s3_spark.functions.sampling import hash_sample
 from fess_ds_s3_spark.operators.caps import top_n_per_group
@@ -105,16 +106,15 @@ def curate_corpus(docs: DataFrame, *,
     num, den = min_stopword
     if sample is not None:
         docs = docs.filter(hash_sample(id_col, *sample, seed=sample_seed))
-    score_cols = [
-        F.col(id_col),
-        T.lang_id(text).alias("lang_guess"),
-        T.token_count_ws(text).alias("ws_tokens"),
-        T.stopword_hits(text).alias("_stop_hits"),
-        T.stopword_ratio(text).alias("stopword_ratio"),
-        T.fingerprint_md5(text).alias("fp")]
-    if max_per_source is not None:
-        score_cols.append(F.col(source_col))
-    scored = docs.select(*score_cols)
+    # r6: one Arrow/RE2 pass computes the score columns (value-identical
+    # twins of the functions/text.py expressions — equivalence notes in
+    # functions/arrow_text.py); the ratio is derived from the counted
+    # columns instead of re-scanning the text twice more
+    scored = (arrow_text.curate_metrics(
+        docs, text=text, id_col=id_col,
+        keep=(source_col,) if max_per_source is not None else ())
+        .withColumn("stopword_ratio",
+                    arrow_text.stopword_ratio_from_counts()))
     kept = scored.filter(
         F.col("lang_guess").isin(*langs)
         & (F.col("ws_tokens") >= F.lit(min_tokens))
