@@ -313,8 +313,38 @@ def dedup_minhash_lsh(df: DataFrame, text: str = "text",
                     .union(pairs.select(F.col("b").alias(id_col)))
                     .distinct())
         verify_docs = df.join(cand_ids, on=id_col, how="left_semi")
-    sh = explode_shingle_hashes(verify_docs, text, id_col, n=shingle_n)
-    return jaccard_verify(pairs, sh, id_col, threshold=threshold)
+    # r6: verify per PAIR with set intersection of each side's distinct
+    # hash array instead of exploding every shingle into (id, hash) rows
+    # and re-aggregating — the candidate set is a sliver of the corpus,
+    # so two skinny joins + one array_intersect per pair replace two
+    # 10^5-row joins, a groupBy(a, b) and a per-doc countDistinct.
+    # Values are identical by construction: size(array_intersect(ha, hb))
+    # == countDistinct(shared hashes) and size(ha) == countDistinct per
+    # doc — including under (astronomically unlikely) hash collisions,
+    # which both shapes fold the same way.
+    from fess_ds_s3_spark.functions.arrow_text import shingle_sets
+    hset = F.array_distinct(F.transform("shingle",
+                                        lambda s: F.xxhash64(s)))
+    sets_df = (shingle_sets(verify_docs, text=text, id_col=id_col,
+                            n=shingle_n)
+               .select(F.col(id_col), hset.alias("_hs")))
+    a_side = sets_df.select(F.col(id_col).alias("a"),
+                            F.col("_hs").alias("_ha"))
+    b_side = sets_df.select(F.col(id_col).alias("b"),
+                            F.col("_hs").alias("_hb"))
+    inter = F.size(F.array_intersect("_ha", "_hb")).cast("long")
+    na = F.size("_ha").cast("long")
+    nb = F.size("_hb").cast("long")
+    out = (pairs.join(a_side, "a").join(b_side, "b")
+           .select("a", "b", inter.alias("inter"),
+                   (na + nb - inter).alias("union_"))
+           # the exploded shape only materialized pairs with >= 1 shared
+           # hash (inner join) — keep that contract at any threshold
+           .filter(F.col("inter") > 0)
+           .withColumn("jaccard",
+                       F.round(F.col("inter") / F.col("union_"), 6)))
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "inter", "union_", "jaccard")
 
 
 # ---------------------------------------------------------------------------
