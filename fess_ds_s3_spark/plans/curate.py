@@ -261,12 +261,13 @@ def funnel_report(docs: DataFrame, *,
     is never scanned twice and no stage materializes an intermediate.
     """
     num, den = min_stopword
-    scored = docs.select(
-        F.col(id_col).alias("_id"),
-        T.lang_id(text).alias("_lang"),
-        T.token_count_ws(text).alias("_tok"),
-        T.stopword_hits(text).alias("_hits"),
-        T.fingerprint_md5(text).alias("fp"))
+    # r6: the four score columns come from the shared Arrow/RE2 kernel
+    # (value-identical twins — see functions/arrow_text.py)
+    scored = arrow_text.curate_metrics(docs, text=text, id_col=id_col) \
+        .select(F.col(id_col).alias("_id"),
+                F.col("lang_guess").alias("_lang"),
+                F.col("ws_tokens").alias("_tok"),
+                F.col("_stop_hits").alias("_hits"), "fp")
     f_lang = F.col("_lang").isin(*langs)
     f_len = f_lang & (F.col("_tok") >= F.lit(min_tokens))
     f_stop = f_len & (F.col("_hits") * F.lit(den)
