@@ -401,10 +401,23 @@ def q_admission_fair(spark, sf_dir):
     politeness-admitted backlog (operators/politeness.host_budget), each
     host keeping its host_rank ≤ quota prefix — the anti-starvation
     alternative to the reference-parity page top-K."""
-    admitted = _admitted_round1(spark, sf_dir)
-    backlog = admitted.groupBy("host").agg(
-        F.count(F.lit(1)).alias("pending"))
+    # r6: the politeness-admitted backlog per host is, by construction,
+    # min(#unseen rows, politeness budget) — host_rank enumerates
+    # 1..n_unseen and admission keeps rank <= budget — so the quota input
+    # is derived from a plain aggregate over the anti-joined frontier
+    # instead of a second evaluation of the ranking window (same values,
+    # one window pass less; verified row-identical vs the groupBy-over-
+    # admitted shape).
+    f = _frontier(spark, sf_dir)
+    seen = (f.filter(F.col("doc_id") % 3 == 0)
+            .select(F.col("url").alias("canonical_url")))
+    unseen = f.join(seen, f["url"] == seen["canonical_url"], "left_anti")
+    backlog = (unseen.withColumn("budget", _budget_spark())
+               .groupBy("host")
+               .agg(F.least(F.count(F.lit(1)), F.min("budget"))
+                    .alias("pending")))
     quotas = politeness.host_budget(backlog, 23).select("host", "quota")
+    admitted = _admitted_round1(spark, sf_dir)
     return (admitted.join(F.broadcast(quotas), "host")
             .filter(F.col("host_rank") <= F.col("quota"))
             .select("host", "host_rank", "url", "quota"))

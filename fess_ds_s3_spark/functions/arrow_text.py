@@ -57,6 +57,23 @@ from fess_ds_s3_spark.functions.text import _LANG_MARKERS, EN_STOPWORDS
 #: lacks \x0B)
 _JAVA_WS = "[ \\t\\n\\x0B\\f\\r]"
 
+
+def partition_floor(src: DataFrame) -> DataFrame:
+    """Parallelism floor for a Python kernel stage (guide §2.5/§6, the
+    X1 floor-not-cap rule): a single small input file gives the scan ONE
+    task, serializing the whole kernel on one core — measured 1.2 s for
+    a pass whose per-core work is ~35 ms at sf1.0. When the input's
+    partitioning is below the cluster's natural parallelism, repartition
+    UP to it (round-robin; every kernel here is row-wise, so placement
+    cannot change any value). A large input that already has >=
+    defaultParallelism partitions keeps its layout and pays no shuffle —
+    the floor never becomes a cap at 100 TB."""
+    sc = src.sparkSession.sparkContext
+    natural = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < natural:
+        return src.repartition(natural)
+    return src
+
 _STOP_PATTERN = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
 _LANG_PATTERNS = [(lang, r"\b(?:" + "|".join(ws) + r")\b")
                   for lang, ws in _LANG_MARKERS.items()]
@@ -110,7 +127,7 @@ def curate_metrics(docs: DataFrame, *, text: str = "text",
     original expression over the same integers), which also removes the
     old plan's duplicate hits+tokens regex scans."""
     cols = [id_col, *keep, text]
-    src = docs.select(*cols)
+    src = partition_floor(docs.select(*cols))
     out_schema = StructType(
         [src.schema[c] for c in (id_col, *keep)]
         + [StructField("lang_guess", StringType(), False),
@@ -166,7 +183,7 @@ def shingle_sets(docs: DataFrame, *, text: str = "text",
     yield one (shorter) shingle and empty text yields ``[""]``;
     ``array_distinct`` keeps first occurrences.
     """
-    src = docs.select(id_col, text)
+    src = partition_floor(docs.select(id_col, text))
     out_schema = StructType([src.schema[id_col],
                              StructField("shingle",
                                          ArrayType(StringType()), True)])
