@@ -234,11 +234,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", *,
     w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
     capped = (banded.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= max_bucket))
-    left = capped.select("band_id", "band_hash", F.col(id_col).alias("a"))
-    right = capped.select("band_id", "band_hash", F.col(id_col).alias("b"))
-    return (left.join(right, ["band_id", "band_hash"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    # r6: the old shape self-joined ``capped`` with itself on the bucket
+    # key — evaluating the banding+window subtree TWICE and paying two
+    # more exchanges (join + distinct). Same pair set, one subtree pass:
+    # collect each capped bucket's ids (≤ max_bucket, so bounded memory —
+    # the cap happens BEFORE the collect, degenerate buckets never
+    # materialize whole) and expand a < b combinations in-place. The
+    # groupBy key equals the window partition key, so the aggregation
+    # reuses the window's exchange — no new shuffle before ``distinct``.
+    buckets = (capped.groupBy("band_id", "band_hash")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+               .filter(F.size("_ids") >= 2))
+    combos = F.flatten(F.transform(
+        "_ids",
+        lambda a, i: F.transform(
+            F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    return (buckets.select(F.explode(combos).alias("_p"))
+            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .distinct())
 
 
 def jaccard_verify(pairs: DataFrame, shingle_hashes: DataFrame,
